@@ -1,0 +1,106 @@
+"""Aggregate function descriptors (A1-A5).
+
+Reference parity: the logical descriptor mirrors
+``impl/functions/aggregation/CustomizedAggregationFunction.java:33-60``
+(property key in, aggregate property key out); the physical Flink UDAFs
+(TableCount/TableMinProperty/TableMaxProperty/TableSumProperty/
+TableAvgProperty, each with createAccumulator/accumulate/merge/getValue)
+collapse to native Spark aggregate expressions, which already execute as
+partial+final hash aggregates (map-side combine before the shuffle).
+
+Each descriptor additionally exposes a *decomposed* partial/merge form used
+by the salted two-phase aggregation (skew defense — SURVEY.md §4; the
+reference has none) and by the streaming final-merge stage.
+
+Deliberate divergences from reference quirks (SURVEY.md §2.3):
+  - MaxProperty: reference seeds the accumulator with Double.MIN_VALUE (the
+    smallest *positive* double) and is wrong for all-negative inputs
+    (``aggregation/TableMaxProperty.java:38-52``). Spark ``max`` is correct.
+  - SumProperty: reference returns NULL for a legitimate zero sum
+    (``aggregation/TableSumProperty.java:70-80``). We return 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class AggregateFunction:
+    """One aggregate over a (numeric) property key.
+
+    ``kind`` ∈ {count,min,max,sum,avg}; ``property_key`` is None for count.
+    ``output_key`` is the emitted property name (reference: 'count',
+    f'min_{k}', ... — aggregation/Count.java:36-66 etc.).
+    """
+
+    kind: str
+    property_key: str | None = None
+    _output_key: str | None = None
+
+    @property
+    def output_key(self) -> str:
+        if self._output_key:
+            return self._output_key
+        if self.kind == "count":
+            return "count"
+        return f"{self.kind}_{self.property_key}"
+
+    # -- direct (single-phase) form -------------------------------------
+    def agg_expr(self, input_col: str) -> Column:
+        """Aggregate over the promoted property column (already double)."""
+        if self.kind == "count":
+            return F.count(F.lit(1)).alias(self.output_key)
+        fn = getattr(F, self.kind)
+        return fn(F.col(input_col)).alias(self.output_key)
+
+    # -- decomposed (partial / merge) form for salted 2-phase agg --------
+    def partial_exprs(self, input_col: str) -> list[Column]:
+        p = f"_p_{self.output_key}"
+        if self.kind == "count":
+            return [F.count(F.lit(1)).alias(p)]
+        if self.kind == "avg":
+            return [
+                F.sum(F.col(input_col)).alias(p + "_sum"),
+                F.count(F.col(input_col)).alias(p + "_cnt"),
+            ]
+        fn = getattr(F, self.kind)
+        return [fn(F.col(input_col)).alias(p)]
+
+    def merge_expr(self) -> Column:
+        p = f"_p_{self.output_key}"
+        if self.kind == "count":
+            return F.sum(F.col(p)).alias(self.output_key)
+        if self.kind == "avg":
+            return (F.sum(F.col(p + "_sum")) / F.sum(F.col(p + "_cnt"))).alias(self.output_key)
+        if self.kind == "sum":
+            return F.sum(F.col(p)).alias(self.output_key)
+        fn = getattr(F, self.kind)
+        return fn(F.col(p)).alias(self.output_key)
+
+    def merge_agg_expr(self) -> Column:
+        """Merge expr usable inside .agg (avg needs post-division)."""
+        return self.merge_expr()
+
+
+def Count() -> AggregateFunction:
+    return AggregateFunction("count")
+
+
+def MinProperty(key: str) -> AggregateFunction:
+    return AggregateFunction("min", key)
+
+
+def MaxProperty(key: str) -> AggregateFunction:
+    return AggregateFunction("max", key)
+
+
+def SumProperty(key: str) -> AggregateFunction:
+    return AggregateFunction("sum", key)
+
+
+def AvgProperty(key: str) -> AggregateFunction:
+    return AggregateFunction("avg", key)

@@ -1,0 +1,618 @@
+"""Windowed graph-stream grouping — the reference's composite operator,
+re-planned Spark-first.
+
+Reference parity: the 10 numbered stages of
+``impl/algorithm/GraphStreamGrouping.java:99-144`` (each stage method there
+maps 1:1 to a method here so stage-level golden tests port directly —
+SURVEY.md §3 entry point 3), with the grouping-key bookkeeping of
+``impl/algorithm/TableGroupingBase.java``.
+
+Spark-first divergences (semantics preserved, plan improved):
+  - The window struct produced by ``F.window``/``F.session_window`` is
+    *carried through* all stages instead of being re-derived from rowtime,
+    which (a) makes sliding windows correct (an element belongs to several
+    windows) and (b) eliminates join J1: vertex→super-vertex mapping is a
+    pure projection (re-compute the group hash per raw vertex) rather than a
+    null-safe-equality + time-range join (``TableGroupingBase.java:587-614``).
+    Session windows still need the join (a row's session depends on other
+    rows), implemented as key-equality + temporal containment.
+  - Property extraction/fold are native Catalyst expressions (see
+    functions/properties.py) so every stage stays in WholeStageCodegen; the
+    optional Arrow path routes extraction through pandas UDFs.
+  - Optional salted two-phase aggregation (``salt_buckets > 0``) defuses hot
+    group keys; in batch Catalyst already does map-side partial aggregation,
+    but the salted form is load-bearing for the streaming state store where
+    one hot (window, key) otherwise pins one state partition.
+
+Emission parity: the emitted event_time of a super element is the Flink
+window rowtime = window_end − 1 ms (asserted by the reference goldens,
+``src/test/.../LabelGroupSizeAggTest.java:127-137``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import StreamGraphConfig, WindowConfig, WindowKind
+from ..functions.properties import (
+    canonical_props,
+    extract_property,
+    fold_properties,
+    make_extract_property_udf,
+    super_element_id,
+)
+from ..model import NO_LABEL, StreamGraph
+from .aggregation import AggregateFunction
+
+GROUP_LABEL_SYMBOL = ":label"  # TableGroupingBase.java:767
+
+
+def window_expr(w: WindowConfig, ts: str | Column) -> Column:
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    if w.kind == WindowKind.TUMBLING:
+        return F.window(ts_col, w.size_interval)
+    if w.kind == WindowKind.SLIDING:
+        return F.window(ts_col, w.size_interval, w.slide_interval)
+    if w.kind == WindowKind.SESSION:
+        return F.session_window(ts_col, w.gap_interval)
+    raise ValueError(w.kind)
+
+
+def rowtime_expr(window_col: str = "window") -> Column:
+    """Window rowtime = window_end − 1 ms (reference emission timestamp)."""
+    return F.col(f"{window_col}.end") - F.expr("INTERVAL 1 MILLISECOND")
+
+
+@dataclass
+class GraphStreamGrouping:
+    """The grouping operator (GraphStreamGrouping.java:76-144)."""
+
+    vertex_grouping_keys: list[str] = field(default_factory=list)
+    edge_grouping_keys: list[str] = field(default_factory=list)
+    use_vertex_labels: bool = False
+    use_edge_labels: bool = False
+    vertex_aggs: list[AggregateFunction] = field(default_factory=list)
+    edge_aggs: list[AggregateFunction] = field(default_factory=list)
+    window: WindowConfig = field(default_factory=WindowConfig)
+    config: StreamGraphConfig = field(default_factory=StreamGraphConfig)
+
+    # ------------------------------------------------------------------
+    # internal column-name helpers (the TMP_n analog,
+    # TableGroupingBase.java buildVertexGroupProjectExpressions)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _gk(i: int) -> str:
+        return f"_gk_{i}"
+
+    @staticmethod
+    def _egk(i: int) -> str:
+        return f"_egk_{i}"
+
+    @staticmethod
+    def _agg_in(a: AggregateFunction) -> str:
+        return f"_agg_in_{a.output_key}"
+
+    # ------------------------------------------------------------------
+    # Stage 1 — deduplicateVertices (GraphStreamGrouping.java:146-158)
+    # ------------------------------------------------------------------
+    def dedup_vertices(self, vertices: DataFrame) -> DataFrame:
+        """Windowed DISTINCT over (id, label, props); emits one row per
+        (vertex observation, window) with event_time = window rowtime.
+
+        Spark cannot GROUP BY MapType, so the property bag participates via
+        its canonical sorted-entries encoding.
+        """
+        if self.window.kind == WindowKind.SESSION:
+            # Session semantics: exact-duplicate collapse only (see module
+            # docstring); window assignment happens inside group_vertices.
+            out = (
+                vertices.select(
+                    "vertex_id",
+                    "vertex_label",
+                    canonical_props("vertex_properties").alias("_props_c"),
+                    "event_time",
+                )
+                .dropDuplicates(["vertex_id", "vertex_label", "_props_c", "event_time"])
+            )
+            return out.select(
+                F.lit(None)
+                .cast("struct<start:timestamp,end:timestamp>")
+                .alias("window"),
+                "vertex_id",
+                "vertex_label",
+                F.map_from_entries("_props_c").alias("vertex_properties"),
+                "event_time",
+            )
+        w = window_expr(self.window, "event_time")
+        out = (
+            vertices.select(
+                w.alias("window"),
+                "vertex_id",
+                "vertex_label",
+                canonical_props("vertex_properties").alias("_props_c"),
+            )
+            .groupBy("window", "vertex_id", "vertex_label", "_props_c")
+            .agg(F.count(F.lit(1)).alias("_dup_count"))
+        )
+        return out.select(
+            "window",
+            "vertex_id",
+            "vertex_label",
+            F.map_from_entries("_props_c").alias("vertex_properties"),
+            rowtime_expr().alias("event_time"),
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 2 — deduplicateEdges (GraphStreamGrouping.java:160-173)
+    # ------------------------------------------------------------------
+    def dedup_edges(self, edges: DataFrame) -> DataFrame:
+        if self.window.kind == WindowKind.SESSION:
+            out = (
+                edges.select(
+                    "edge_id",
+                    "edge_label",
+                    canonical_props("edge_properties").alias("_props_c"),
+                    "source_id",
+                    "target_id",
+                    "event_time",
+                )
+                .dropDuplicates(
+                    ["edge_id", "edge_label", "_props_c", "source_id", "target_id", "event_time"]
+                )
+            )
+            return out.select(
+                F.lit(None)
+                .cast("struct<start:timestamp,end:timestamp>")
+                .alias("window"),
+                "edge_id",
+                "edge_label",
+                F.map_from_entries("_props_c").alias("edge_properties"),
+                "source_id",
+                "target_id",
+                "event_time",
+            )
+        w = window_expr(self.window, "event_time")
+        out = (
+            edges.select(
+                w.alias("window"),
+                "edge_id",
+                "edge_label",
+                canonical_props("edge_properties").alias("_props_c"),
+                "source_id",
+                "target_id",
+            )
+            .groupBy("window", "edge_id", "edge_label", "_props_c", "source_id", "target_id")
+            .agg(F.count(F.lit(1)).alias("_dup_count"))
+        )
+        return out.select(
+            "window",
+            "edge_id",
+            "edge_label",
+            F.map_from_entries("_props_c").alias("edge_properties"),
+            "source_id",
+            "target_id",
+            rowtime_expr().alias("event_time"),
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 3 — enhanceVerticesByPropertyColumns
+    # (GraphStreamGrouping.java:175-178; P8 property-column promotion)
+    # ------------------------------------------------------------------
+    def _promote(self, df: DataFrame, props_col: str, keys: list[str], aggs, gk_name) -> DataFrame:
+        cols = [F.col(c) for c in df.columns]
+        if self.config.use_arrow_extraction:
+            for i, k in enumerate(keys):
+                cols.append(make_extract_property_udf(k)(F.col(props_col)).alias(gk_name(i)))
+            for a in aggs:
+                if a.property_key is not None:
+                    cols.append(
+                        make_extract_property_udf(a.property_key)(F.col(props_col))
+                        .cast("double")
+                        .alias(self._agg_in(a))
+                    )
+        else:
+            for i, k in enumerate(keys):
+                cols.append(extract_property(props_col, k).alias(gk_name(i)))
+            for a in aggs:
+                if a.property_key is not None:
+                    cols.append(
+                        extract_property(props_col, a.property_key)
+                        .cast("double")
+                        .alias(self._agg_in(a))
+                    )
+        return df.select(*cols)
+
+    def enhance_vertices(self, deduped: DataFrame) -> DataFrame:
+        return self._promote(
+            deduped, "vertex_properties", self.vertex_grouping_keys, self.vertex_aggs, self._gk
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 4 — groupVertices (GraphStreamGrouping.java:180-185, A7)
+    # ------------------------------------------------------------------
+    def _vertex_group_cols(self) -> list[str]:
+        cols = [self._gk(i) for i in range(len(self.vertex_grouping_keys))]
+        if self.use_vertex_labels:
+            cols.append("vertex_label")
+        return cols
+
+    def _vertex_id_hash_fields(self) -> list[Column]:
+        """CreateSuperElementId inputs: [label?] + grouping values + rowtime
+        (TableGroupingBase.java buildVertexProjectExpressions; rowtime is
+        always the last hash field)."""
+        fields: list[Column] = []
+        if self.use_vertex_labels:
+            fields.append(F.col("vertex_label"))
+        fields += [F.col(self._gk(i)) for i in range(len(self.vertex_grouping_keys))]
+        fields.append(F.unix_millis(F.col("event_time")).cast("string"))
+        return fields
+
+    def group_vertices(self, enhanced: DataFrame) -> DataFrame:
+        group_cols = self._vertex_group_cols()
+        if self.window.kind == WindowKind.SESSION:
+            wcol = window_expr(self.window, "event_time").alias("window")
+            grouped = enhanced.groupBy(wcol, *group_cols)
+        else:
+            grouped = enhanced.groupBy("window", *group_cols)
+
+        agg_exprs = [a.agg_expr(self._agg_in(a)) for a in self.vertex_aggs]
+        if not agg_exprs:
+            agg_exprs = [F.count(F.lit(1)).alias("_group_size")]
+
+        if self.config.salt_buckets > 0 and self.window.kind != WindowKind.SESSION:
+            out = self._group_salted(
+                enhanced, ["window", *group_cols], "vertex_id", self.vertex_aggs
+            )
+        else:
+            out = grouped.agg(*agg_exprs)
+
+        label = F.col("vertex_label") if self.use_vertex_labels else F.lit(NO_LABEL)
+        keep = ["window"] + [self._gk(i) for i in range(len(self.vertex_grouping_keys))]
+        agg_out = [a.output_key for a in self.vertex_aggs]
+        return out.select(
+            *keep,
+            rowtime_expr().alias("event_time"),
+            label.alias("vertex_label"),
+            *agg_out,
+        ).withColumn(
+            "super_vertex_id",
+            super_element_id(self._vertex_id_hash_fields(), self.config.id_hash),
+        )
+
+    def _group_salted(
+        self, enhanced: DataFrame, group_cols: list[str], salt_src: str, aggs
+    ) -> DataFrame:
+        """Salted two-phase aggregation: phase 1 adds salt = pmod(xxhash64(id), S)
+        to the key and computes partial aggregates; phase 2 merges partials
+        per true key. Plain DataFrame code — no Catalyst extension."""
+        s = self.config.salt_buckets
+        salted = enhanced.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(s)))
+        partials: list[Column] = []
+        for a in aggs:
+            partials += a.partial_exprs(self._agg_in(a))
+        if not partials:
+            partials = [F.count(F.lit(1)).alias("_p__group_size")]
+        phase1 = salted.groupBy(*group_cols, "_salt").agg(*partials)
+        merges = [a.merge_expr() for a in aggs]
+        if not merges:
+            merges = [F.sum("_p__group_size").alias("_group_size")]
+        return phase1.groupBy(*group_cols).agg(*merges)
+
+    # ------------------------------------------------------------------
+    # Stage 5 — createSuperVertices (GraphStreamGrouping.java:187-190;
+    # project exprs TableGroupingBase.java:667-697)
+    # ------------------------------------------------------------------
+    def create_super_vertices(self, grouped: DataFrame) -> DataFrame:
+        pairs = [
+            (k, F.col(self._gk(i))) for i, k in enumerate(self.vertex_grouping_keys)
+        ] + [(a.output_key, F.col(a.output_key)) for a in self.vertex_aggs]
+        return grouped.select(
+            F.col("super_vertex_id").alias("vertex_id"),
+            F.col("event_time"),
+            F.col("vertex_label"),
+            fold_properties(pairs).alias("vertex_properties"),
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 6 — createExpandedVertices (GraphStreamGrouping.java:208-214)
+    # ------------------------------------------------------------------
+    def expand_vertices(self, enhanced: DataFrame, grouped: DataFrame | None = None) -> DataFrame:
+        """Map every raw (deduped) vertex to its super-vertex id.
+
+        Tumbling/sliding: *pure projection* — re-compute the group hash from
+        the vertex's own promoted columns + carried window; join J1
+        eliminated (zero shuffle on this path).
+        Session: join on null-safe key equality + temporal containment
+        (the reference's J1 condition, TableGroupingBase.java:587-614).
+        """
+        if self.window.kind != WindowKind.SESSION:
+            return enhanced.select(
+                "vertex_id",
+                "window",
+                super_element_id(self._vertex_id_hash_fields(), self.config.id_hash).alias(
+                    "super_vertex_id"
+                ),
+            )
+        assert grouped is not None, "session-window expansion needs the grouped table"
+        g = grouped.select(
+            "window",
+            F.col("super_vertex_id"),
+            *[F.col(self._gk(i)).alias(f"_g{i}") for i in range(len(self.vertex_grouping_keys))],
+            *( [F.col("vertex_label").alias("_glabel")] if self.use_vertex_labels else [] ),
+        )
+        cond = (enhanced["event_time"] >= g["window.start"]) & (
+            enhanced["event_time"] < g["window.end"]
+        )
+        for i in range(len(self.vertex_grouping_keys)):
+            cond = cond & enhanced[self._gk(i)].eqNullSafe(g[f"_g{i}"])
+        if self.use_vertex_labels:
+            cond = cond & enhanced["vertex_label"].eqNullSafe(g["_glabel"])
+        return enhanced.join(g, cond, "inner").select(
+            enhanced["vertex_id"], g["window"], g["super_vertex_id"]
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 7 — createEdgesWithExpandedVertices (GraphStreamGrouping.java:228-260)
+    # ------------------------------------------------------------------
+    def edges_with_super_vertices(self, deduped_edges: DataFrame, expanded: DataFrame) -> DataFrame:
+        """Replace edge endpoints with super-vertex ids: two equi joins on
+        (endpoint id, window). The reference's time predicate is vacuous
+        (GraphStreamGrouping.java:243-252); we join window-aligned, which is
+        the semantics its tests actually rely on."""
+        if self.window.kind == WindowKind.SESSION:
+            # Vertex sessions and edge event times: containment join.
+            src = expanded.select(
+                F.col("vertex_id").alias("_vid"),
+                F.col("window").alias("_vw"),
+                F.col("super_vertex_id").alias("_svid"),
+            )
+            e = deduped_edges
+            out = e.join(
+                src,
+                (e["source_id"] == src["_vid"])
+                & (e["event_time"] >= src["_vw.start"])
+                & (e["event_time"] < src["_vw.end"]),
+            ).select(
+                e["edge_id"], e["edge_label"], e["edge_properties"],
+                src["_svid"].alias("source_id"), e["target_id"], e["event_time"], e["window"],
+            )
+            tgt = src.select(
+                F.col("_vid").alias("_tvid"), F.col("_vw").alias("_tvw"), F.col("_svid").alias("_tsvid")
+            )
+            return out.join(
+                tgt,
+                (out["target_id"] == tgt["_tvid"])
+                & (out["event_time"] >= tgt["_tvw.start"])
+                & (out["event_time"] < tgt["_tvw.end"]),
+            ).select(
+                out["edge_id"], out["edge_label"], out["edge_properties"],
+                out["source_id"], tgt["_tsvid"].alias("target_id"), out["event_time"], out["window"],
+            )
+        src = expanded.select(
+            F.col("vertex_id").alias("_vid"),
+            F.col("window").alias("_vw"),
+            F.col("super_vertex_id").alias("_svid"),
+        )
+        e = deduped_edges
+        out = e.join(
+            src, (e["source_id"] == src["_vid"]) & (e["window"] == src["_vw"]), "inner"
+        ).select(
+            e["edge_id"], e["edge_label"], e["edge_properties"],
+            src["_svid"].alias("source_id"), e["target_id"], e["event_time"], e["window"],
+        )
+        tgt = expanded.select(
+            F.col("vertex_id").alias("_tvid"),
+            F.col("window").alias("_tvw"),
+            F.col("super_vertex_id").alias("_tsvid"),
+        )
+        return out.join(
+            tgt, (out["target_id"] == tgt["_tvid"]) & (out["window"] == tgt["_tvw"]), "inner"
+        ).select(
+            out["edge_id"], out["edge_label"], out["edge_properties"],
+            out["source_id"], tgt["_tsvid"].alias("target_id"), out["event_time"], out["window"],
+        )
+
+    def edges_with_super_vertices_from_triples(self, triples: DataFrame) -> DataFrame:
+        """Joinless fast path when the input is a triple stream: each edge
+        carries both endpoint vertices inline (StreamTriple), so super
+        source/target ids are *recomputed* per edge — no shuffle at all on
+        the edge-expansion path. Tumbling/sliding only."""
+        assert self.window.kind != WindowKind.SESSION
+        w = window_expr(self.window, "event_time")
+
+        def endpoint_super_id(side: str) -> Column:
+            fields: list[Column] = []
+            if self.use_vertex_labels:
+                fields.append(F.col(f"{side}.vertex_label"))
+            fields += [
+                extract_property(F.col(f"{side}.vertex_properties"), k)
+                for k in self.vertex_grouping_keys
+            ]
+            fields.append(F.unix_millis(rowtime_expr()).cast("string"))
+            return super_element_id(fields, self.config.id_hash)
+
+        with_w = triples.select(
+            w.alias("window"), "edge_id", "edge_label", "edge_properties", "source", "target"
+        )
+        expanded = with_w.select(
+            "window",
+            "edge_id",
+            "edge_label",
+            canonical_props("edge_properties").alias("_props_c"),
+            endpoint_super_id("source").alias("source_id"),
+            endpoint_super_id("target").alias("target_id"),
+        )
+        # windowed edge dedup (stage 2) folded in after expansion
+        return (
+            expanded.groupBy(
+                "window", "edge_id", "edge_label", "_props_c", "source_id", "target_id"
+            )
+            .agg(F.count(F.lit(1)).alias("_dup_count"))
+            .select(
+                "window",
+                "edge_id",
+                "edge_label",
+                F.map_from_entries("_props_c").alias("edge_properties"),
+                "source_id",
+                "target_id",
+                rowtime_expr().alias("event_time"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 8 — enrichEdgesWithSuperVertices (GraphStreamGrouping.java:262-265)
+    # ------------------------------------------------------------------
+    def enrich_edges(self, edges: DataFrame) -> DataFrame:
+        return self._promote(
+            edges, "edge_properties", self.edge_grouping_keys, self.edge_aggs, self._egk
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 9 — groupEdges (GraphStreamGrouping.java:267-272, A8)
+    # ------------------------------------------------------------------
+    def _edge_group_cols(self) -> list[str]:
+        cols = ["source_id", "target_id"]
+        cols += [self._egk(i) for i in range(len(self.edge_grouping_keys))]
+        if self.use_edge_labels:
+            cols.append("edge_label")
+        return cols
+
+    def _edge_id_hash_fields(self) -> list[Column]:
+        """Default: src + tgt + [label?] + grouping values + rowtime.
+        The reference omits src/tgt (TableGroupingBase.java:426-441) which
+        its own tests flag as buggy (LabelGroupSizeAggTest.java:25);
+        ``compat_super_edge_id`` reproduces that."""
+        fields: list[Column] = []
+        if not self.config.compat_super_edge_id:
+            fields += [F.col("source_id"), F.col("target_id")]
+        if self.use_edge_labels:
+            fields.append(F.col("edge_label"))
+        fields += [F.col(self._egk(i)) for i in range(len(self.edge_grouping_keys))]
+        fields.append(F.unix_millis(F.col("event_time")).cast("string"))
+        return fields
+
+    def group_edges(self, enriched: DataFrame) -> DataFrame:
+        group_cols = self._edge_group_cols()
+        if self.window.kind == WindowKind.SESSION:
+            wcol = window_expr(self.window, "event_time").alias("window")
+            grouped = enriched.groupBy(wcol, *group_cols)
+        else:
+            grouped = enriched.groupBy("window", *group_cols)
+        agg_exprs = [a.agg_expr(self._agg_in(a)) for a in self.edge_aggs]
+        if not agg_exprs:
+            agg_exprs = [F.count(F.lit(1)).alias("_group_size")]
+        if self.config.salt_buckets > 0 and self.window.kind != WindowKind.SESSION:
+            out = self._group_salted(enriched, ["window", *group_cols], "edge_id", self.edge_aggs)
+        else:
+            out = grouped.agg(*agg_exprs)
+        label = F.col("edge_label") if self.use_edge_labels else F.lit(NO_LABEL)
+        keep = ["window", "source_id", "target_id"] + [
+            self._egk(i) for i in range(len(self.edge_grouping_keys))
+        ]
+        agg_out = [a.output_key for a in self.edge_aggs]
+        return out.select(
+            *keep,
+            rowtime_expr().alias("event_time"),
+            label.alias("edge_label"),
+            *agg_out,
+        ).withColumn(
+            "super_edge_id", super_element_id(self._edge_id_hash_fields(), self.config.id_hash)
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 10 — createSuperEdges (GraphStreamGrouping.java:274-277;
+    # exprs TableGroupingBase.java:707-741)
+    # ------------------------------------------------------------------
+    def create_super_edges(self, grouped: DataFrame) -> DataFrame:
+        pairs = [
+            (k, F.col(self._egk(i))) for i, k in enumerate(self.edge_grouping_keys)
+        ] + [(a.output_key, F.col(a.output_key)) for a in self.edge_aggs]
+        return grouped.select(
+            F.col("super_edge_id").alias("edge_id"),
+            F.col("edge_label"),
+            fold_properties(pairs).alias("edge_properties"),
+            F.col("source_id"),
+            F.col("target_id"),
+            F.col("event_time"),
+        )
+
+    # ------------------------------------------------------------------
+    # performGrouping (GraphStreamGrouping.java:99-144)
+    # ------------------------------------------------------------------
+    def execute(self, graph: StreamGraph) -> StreamGraph:
+        deduped_v = self.dedup_vertices(graph.vertices)  # 1
+        enhanced_v = self.enhance_vertices(deduped_v)  # 3
+        grouped_v = self.group_vertices(enhanced_v)  # 4
+        super_vertices = self.create_super_vertices(grouped_v)  # 5
+
+        if graph.triples is not None and self.window.kind != WindowKind.SESSION:
+            # joinless fast path: stages 2+6+7 collapse into one projection
+            edges_expanded = self.edges_with_super_vertices_from_triples(graph.triples)
+        else:
+            deduped_e = self.dedup_edges(graph.edges)  # 2
+            expanded = self.expand_vertices(enhanced_v, grouped_v)  # 6
+            edges_expanded = self.edges_with_super_vertices(deduped_e, expanded)  # 7
+
+        enriched_e = self.enrich_edges(edges_expanded)  # 8
+        grouped_e = self.group_edges(enriched_e)  # 9
+        super_edges = self.create_super_edges(grouped_e)  # 10
+
+        return replace(graph, vertices=super_vertices, edges=super_edges, triples=None)
+
+
+class GroupingBuilder:
+    """Fluent builder (TableGroupingBase.java:762-929). The magic grouping
+    key ``":label"`` toggles label grouping (TableGroupingBase.java:814-821)."""
+
+    def __init__(self) -> None:
+        self._op = GraphStreamGrouping()
+
+    def add_vertex_grouping_key(self, key: str) -> "GroupingBuilder":
+        if key == GROUP_LABEL_SYMBOL:
+            self._op.use_vertex_labels = True
+        else:
+            self._op.vertex_grouping_keys.append(key)
+        return self
+
+    def add_vertex_grouping_keys(self, keys: list[str]) -> "GroupingBuilder":
+        for k in keys:
+            self.add_vertex_grouping_key(k)
+        return self
+
+    def add_edge_grouping_key(self, key: str) -> "GroupingBuilder":
+        if key == GROUP_LABEL_SYMBOL:
+            self._op.use_edge_labels = True
+        else:
+            self._op.edge_grouping_keys.append(key)
+        return self
+
+    def add_edge_grouping_keys(self, keys: list[str]) -> "GroupingBuilder":
+        for k in keys:
+            self.add_edge_grouping_key(k)
+        return self
+
+    def add_vertex_aggregate_function(self, a: AggregateFunction) -> "GroupingBuilder":
+        self._op.vertex_aggs.append(a)
+        return self
+
+    def add_edge_aggregate_function(self, a: AggregateFunction) -> "GroupingBuilder":
+        self._op.edge_aggs.append(a)
+        return self
+
+    def set_window_size(self, value: float, unit: str = "SECONDS") -> "GroupingBuilder":
+        self._op.window = WindowConfig.tumbling(value, unit)
+        return self
+
+    def set_window_config(self, w: WindowConfig) -> "GroupingBuilder":
+        self._op.window = w
+        return self
+
+    def set_config(self, cfg: StreamGraphConfig) -> "GroupingBuilder":
+        self._op.config = cfg
+        return self
+
+    def build(self) -> GraphStreamGrouping:
+        return self._op
