@@ -1,10 +1,12 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry exercises one operator family from SURVEY.md §2 or the
+training-data pipeline additions, over the driver's parquet tables; the
+paired oracle_sql() reproduces the semantics in ANSI SQL for DuckDB.
+Keys without an oracle entry are genuinely non-SQL-expressible (LSH/IVF
+approximations whose value is the *candidate pruning*, not a SQL-definable
+result set) and get the driver's rows-only check; their exact-result
+counterparts (dedup_minhash_lsh, ann_cosine_scores) ARE oracle-checked.
 """
 
 from __future__ import annotations
@@ -12,27 +14,586 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from graph_stream_zoomer_spark import (
+    AvgProperty,
+    Count,
+    StreamGraphConfig,
+    SumProperty,
+    WindowConfig,
+)
+from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+from graph_stream_zoomer_spark.sources.events_binding import events_graph, load_events
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (events → transcripts → deduped vertex stream)
+# ---------------------------------------------------------------------------
+
+_SQL_T = """
+t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, props AS text,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c, ts
+  FROM events
+),
+c AS (SELECT conv_id FROM t GROUP BY conv_id HAVING COUNT(*) >= 2),
+v AS (SELECT t.* FROM t JOIN c USING (conv_id))
+"""
+
+_SQL_EDGES = """
+p AS (
+  SELECT conv_id, role, ts, value_c,
+         lead(role)   OVER w AS n_role,
+         lead(ts)     OVER w AS n_ts,
+         lead(value_c) OVER w AS n_value_c
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+"""
+
+_WIN_S = 600  # 10-minute tumbling windows over the events timeline
+
+
+def _win_end_s(ts_expr: str) -> str:
+    return f"(CAST(floor(epoch({ts_expr})/{_WIN_S}) AS BIGINT)+1)*{_WIN_S}"
+
+
+def _cfg(**kw) -> StreamGraphConfig:
+    kw.setdefault("id_hash", "sha256")
+    kw.setdefault("window", WindowConfig.tumbling(_WIN_S, "SECONDS"))
+    return StreamGraphConfig(**kw)
+
+
+def _grouped_vertices(spark: SparkSession, sf_dir: str, cfg: StreamGraphConfig,
+                      keys: list[str], aggs: list) -> DataFrame:
+    g = events_graph(load_events(spark, sf_dir), cfg)
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_keys(keys)
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+    )
+    for a in aggs:
+        op.add_vertex_aggregate_function(a)
+    return g.apply(op.build()).vertices
+
+
+def _role_count_query(cfg_kw: dict):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sv = _grouped_vertices(
+            spark, sf_dir, _cfg(**cfg_kw),
+            [":label"], [Count(), AvgProperty("text_len"), SumProperty("value_c")],
+        )
+        p = F.col("vertex_properties")
+        return sv.select(
+            F.col("vertex_label"),
+            ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+            F.element_at(p, "count").cast("bigint").alias("cnt"),
+            F.round(F.element_at(p, "avg_text_len").cast("double"), 4).alias("avg_text_len"),
+            F.element_at(p, "sum_value_c").cast("double").cast("bigint").alias("sum_value_c"),
+        )
+    return q
+
+
+_ROLE_COUNT_SQL = f"""
+WITH {_SQL_T}
+SELECT role AS vertex_label,
+       {_win_end_s('ts')} AS window_end_s,
+       COUNT(*) AS cnt,
+       ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_text_len,
+       SUM(value_c) AS sum_value_c
+FROM v GROUP BY 1, 2
+"""
+
+
+def q_graph_group_edge_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _cfg()
+    g = events_graph(load_events(spark, sf_dir), cfg)
+    op = (
+        GroupingBuilder()
+        .add_edge_grouping_key(":label")
+        .add_edge_aggregate_function(Count())
+        .add_edge_aggregate_function(SumProperty("value_c"))
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    se = g.apply(op).edges
+    p = F.col("edge_properties")
+    return se.select(
+        F.col("edge_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(p, "count").cast("bigint").alias("cnt"),
+        F.element_at(p, "sum_value_c").cast("double").cast("bigint").alias("sum_value_c"),
+    ).groupBy("edge_label", "window_end_s").agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_value_c").alias("sum_value_c")
+    )
+
+
+_EDGE_TRANSITION_SQL = f"""
+WITH {_SQL_T}, {_SQL_EDGES}
+SELECT role || '->' || n_role AS edge_label,
+       {_win_end_s('n_ts')} AS window_end_s,
+       COUNT(*) AS cnt,
+       SUM(n_value_c) AS sum_value_c
+FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_graph_group_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = _grouped_vertices(spark, sf_dir, _cfg(), [], [Count()])
+    return sv.select(
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(F.col("vertex_properties"), "count").cast("bigint").alias("cnt"),
+    )
+
+
+_FULL_SQL = f"""
+WITH {_SQL_T}
+SELECT {_win_end_s('ts')} AS window_end_s, COUNT(*) AS cnt
+FROM v GROUP BY 1
+"""
+
+
+def q_graph_group_property_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = _grouped_vertices(spark, sf_dir, _cfg(), ["text_len"], [Count()])
+    return sv.select(
+        F.element_at(F.col("vertex_properties"), "text_len").cast("bigint").alias("text_len"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(F.col("vertex_properties"), "count").cast("bigint").alias("cnt"),
+    )
+
+
+_PROPERTY_SQL = f"""
+WITH {_SQL_T}
+SELECT CAST(length(text) AS BIGINT) AS text_len,
+       {_win_end_s('ts')} AS window_end_s,
+       COUNT(*) AS cnt
+FROM v GROUP BY 1, 2
+"""
+
+
+def q_graph_group_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _cfg(window=WindowConfig.sliding(600, 300, "SECONDS"))
+    sv = _grouped_vertices(spark, sf_dir, cfg, [":label"], [Count()])
+    return sv.select(
+        F.col("vertex_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(F.col("vertex_properties"), "count").cast("bigint").alias("cnt"),
+    )
+
+
+_SLIDING_SQL = f"""
+WITH {_SQL_T},
+a AS (
+  SELECT v.role, CAST(floor(epoch(v.ts)/300) AS BIGINT)*300 - o.off AS ws
+  FROM v CROSS JOIN (VALUES (0), (300)) o(off)
+)
+SELECT role AS vertex_label, ws + 600 AS window_end_s, COUNT(*) AS cnt
+FROM a GROUP BY 1, 2
+"""
+
+
+def q_graph_group_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _cfg(window=WindowConfig.session(600, "SECONDS"))
+    g = events_graph(load_events(spark, sf_dir), cfg)
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    deduped = op.dedup_vertices(g.vertices)
+    enhanced = op.enhance_vertices(deduped)
+    grouped = op.group_vertices(enhanced)
+    return grouped.select(
+        F.col("vertex_label"),
+        F.unix_micros(F.col("window.start").cast("timestamp")).alias("session_start_us"),
+        F.col("count").cast("bigint").alias("cnt"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH {_SQL_T},
+s AS (
+  SELECT role, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+              THEN 1 ELSE 0 END AS new_s
+  FROM v
+  WINDOW w AS (PARTITION BY role ORDER BY ts)
+),
+s2 AS (
+  SELECT role, ts,
+         SUM(new_s) OVER (PARTITION BY role ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT role AS vertex_label, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS cnt
+FROM s2 GROUP BY role, sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.dedup import normalized_text
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(normalized_text("text")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+_DEDUP_FP_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+_SQL_SHINGLES = """
+w0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+w1 AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words)-2, 1))) AS i
+  FROM w0
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', words[i], words[i+1], words[i+2]) AS sh
+  FROM w1
+)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=32, bands=8)
+
+
+_MINHASH_SQL = f"""
+WITH {_SQL_SHINGLES},
+mh AS (
+  SELECT doc_id, r.i AS i, MIN(md5(CAST(r.i AS VARCHAR) || ':' || sh)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) r
+  GROUP BY doc_id, r.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM mh GROUP BY doc_id, i // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.dedup import simhash_duplicates
+
+    return simhash_duplicates(_docs(spark, sf_dir), prefix_bits=8)
+
+
+def q_ann_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.similarity import cosine_expr
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 5).alias("cosine"),
+        )
+    )
+
+
+_ANN_SCORES_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id < 3),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       ROUND(dot / (nq.nrm * nc.nrm), 5) AS cosine
+FROM dots
+JOIN norms nq ON nq.vec_id = query_id
+JOIN norms nc ON nc.vec_id = neighbor_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=10, bits=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.similarity import norm_expr
+
+    return (
+        _emb(spark, sf_dir)
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(norm_expr(F.col("embedding"))), 5).alias("avg_norm"),
+        )
+    )
+
+
+_EMB_STATS_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, unnest(embedding) AS x FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM e GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(nrm), 5) AS avg_norm
+FROM norms GROUP BY label
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.functions.text import expr_quality_score, expr_token_count
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(expr_token_count("text").cast("bigint")).alias("total_tokens"),
+            F.round(F.avg(expr_token_count("text").cast("double")), 4).alias("avg_tokens"),
+            F.round(F.avg(expr_quality_score("text")), 4).alias("avg_quality"),
+        )
+    )
+
+
+_STOPWORDS_SQL_LIST = (
+    "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as',"
+    "'at','by','it','this','that','be','from','not','have','has','had','you','he','she',"
+    "'they','we','i']"
+)
+
+_TEXT_STATS_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+(?:''[a-z]+)?')) AS BIGINT) AS n_tok,
+         ROUND(
+           0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0)
+           + 0.3 * (1.0 - CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 1.0 END)
+           + 0.3 * least(1.0, 4.0 * CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+               THEN CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    x -> list_contains({_STOPWORDS_SQL_LIST}, x))) AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               ELSE 0.0 END)
+         , 6) AS quality
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+       ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM scored GROUP BY source
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.functions.text import expr_lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(expr_lang_id("text").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANGID_SQL = f"""
+WITH scored AS (
+  SELECT CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+              AND ROUND(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                   x -> list_contains({_STOPWORDS_SQL_LIST}, x))) AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '[a-z]+')), 6) >= 0.1
+         THEN 'en' ELSE 'other' END AS lang_pred
+  FROM documents
+)
+SELECT lang_pred, COUNT(*) AS n_docs FROM scored GROUP BY 1
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.functions.text import expr_fingerprint
+
+    # xxhash64 isn't portable; the oracle-checked output is the md5-based
+    # normalized fingerprint, the engine-internal rolling variant is covered
+    # by pytest.
+    from graph_stream_zoomer_spark.operators.dedup import normalized_text
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_id"),
+        F.md5(normalized_text("text")).alias("fingerprint"),
+    )
+
+
+_TEXT_FP_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_media_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.multimodal import media_digests
+
+    return media_digests(_docs(spark, sf_dir))
+
+
+_MEDIA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: windowed graph grouping (role label + count/avg/sum) over
+    the sf0.001 events stream bound as conversation transcripts."""
+    return _role_count_query({})(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_group_role_count": _role_count_query({}),
+        "graph_group_role_count_salted": _role_count_query({"salt_buckets": 8}),
+        "graph_group_role_count_arrow": _role_count_query({"use_arrow_extraction": True}),
+        "graph_group_edge_transition": q_graph_group_edge_transition,
+        "graph_group_full": q_graph_group_full,
+        "graph_group_property_textlen": q_graph_group_property_textlen,
+        "graph_group_sliding": q_graph_group_sliding,
+        "graph_group_session": q_graph_group_session,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_scores": q_ann_cosine_scores,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_stats": q_embedding_stats,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "media_digests": q_media_digests,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_group_role_count": _ROLE_COUNT_SQL,
+        "graph_group_role_count_salted": _ROLE_COUNT_SQL,
+        "graph_group_role_count_arrow": _ROLE_COUNT_SQL,
+        "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
+        "graph_group_full": _FULL_SQL,
+        "graph_group_property_textlen": _PROPERTY_SQL,
+        "graph_group_sliding": _SLIDING_SQL,
+        "graph_group_session": _SESSION_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_fingerprint": _DEDUP_FP_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        # dedup_simhash: xxhash64-based bit voting — not portable SQL (rows-only)
+        "ann_cosine_scores": _ANN_SCORES_SQL,
+        # ann_*_topk: approximate/rank outputs — rows-only by design
+        "embedding_stats": _EMB_STATS_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "text_langid": _LANGID_SQL,
+        "text_fingerprint": _TEXT_FP_SQL,
+        "media_digests": _MEDIA_SQL,
+    }

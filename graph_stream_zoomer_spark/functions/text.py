@@ -43,7 +43,7 @@ def pdf_text_len(texts: pd.Series) -> pd.Series:
 def expr_token_count(col: Column | str) -> Column:
     """Count of TOKEN_PATTERN matches (whitespace+punct robust)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN)))
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
 @F.pandas_udf(IntegerType())
@@ -61,7 +61,7 @@ def expr_quality_score(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     length = F.length(c).cast("double")
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
-    tokens = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"))
+    tokens = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), F.lit(0))
     n_tokens = F.size(tokens).cast("double")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")
@@ -99,7 +99,7 @@ def expr_lang_en_score(col: Column | str) -> Column:
     """n-gram-heuristic language id, scored as stopword-hit ratio;
     classify en when ratio ≥ 0.1."""
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"))
+    tokens = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), F.lit(0))
     n = F.size(tokens).cast("double")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     hits = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")

@@ -1,0 +1,246 @@
+"""Deduplication operators over a documents table — the training-data
+pipeline additions (no reference equivalent; designed for 100 TB corpora).
+
+Scale notes (what survives a 1000-executor run):
+  - Exact/fingerprint dedup: one hash-groupBy; partial aggregation combines
+    map-side, so hot duplicate clusters don't skew the shuffle.
+  - MinHash+LSH: per-doc signatures are computed in one projection (no
+    shuffle), the only shuffle is the band-bucket groupBy; candidate
+    verification joins only within buckets, never all-pairs.
+  - n-gram Jaccard: inverted-index join (explode shingles → join on
+    shingle) — O(total postings), not O(n²); common-shingle counting is an
+    aggregate, and hot shingles can be dropped by document frequency like a
+    stopword list (``max_shingle_df``).
+  - Hash choice: the cross-engine-reproducible variants use md5 (available
+    in DuckDB for the oracle harness); the fast path uses xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    c = normalized_text(col)
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+
+
+# ------------------------------------------------------------------ exact
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of byte-identical texts. Returns one row per
+    duplicated text with the canonical keeper (min id) and group size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def fingerprint_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint (case/punct/
+    whitespace-insensitive)."""
+    return (
+        docs.groupBy(F.md5(normalized_text(text_col)).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs with n-gram-shingle Jaccard ≥ threshold, via an
+    inverted-index self-join (never materializes the n² pair space).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (frequent-shingle stopwording) — at corpus scale this bounds the join
+    fan-out; None keeps all (exact result, used by the oracle tests).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signature(col: Column | str, num_hashes: int = 32, reproducible: bool = True) -> Column:
+    """MinHash signature as an array of per-hash minima over the shingle
+    set. ``reproducible=True`` hashes via md5(i || ':' || shingle) and takes
+    the lexicographic min hex string (portable to any SQL engine);
+    ``False`` uses xxhash64 (faster, JVM-only)."""
+    sh = word_shingles(col)
+    if reproducible:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            ),
+        )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))).cast("string"),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reproducible: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs: shingle → minhash → band → bucket-join.
+
+    Signature computation is a pure projection; the only shuffle is the
+    (band, bucket-hash) groupBy. Pairs are emitted per shared bucket then
+    distinct-ed. Verify candidates with ngram_jaccard on the candidate set.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, reproducible).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over token xxhash64 values: for each bit, sum ±1 over
+    tokens and take the sign. Pure Catalyst (bit ops + aggregate over the
+    token array) — no UDF, no shuffle."""
+    c = normalized_text(col)
+    toks = F.filter(F.split(c, " "), lambda t: F.length(t) > 0)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # shiftright/shiftleft need literal bit counts → unroll over the 64 bits.
+    # (Bind i via a factory: pyspark counts lambda params, so default-arg
+    # binding would turn this into a 3-arg higher-order lambda.)
+    def _vote_fn(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(i))
+        bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        out = out.bitwiseOR(F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing the top ``prefix_bits`` of
+    their simhash (banded-prefix blocking; at scale, repeat over rotated
+    hashes for full Hamming coverage)."""
+    s = docs.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("simhash"))
+    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
+    s = s.select("doc", "simhash", block)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+    )
+
+
+# ------------------------------------------------------------- embeddings
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. ``num_buckets=1`` is the exact
+    all-pairs baseline (only for modest candidate sets); >1 blocks by a
+    random-hyperplane LSH sketch first (see similarity.py)."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    v = emb.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    if num_buckets > 1:
+        v = v.withColumn("_bkt", hyperplane_bucket("vec", bits=8))
+        cond = (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a.doc") < F.col("b.doc"))
+    else:
+        cond = F.col("a.doc") < F.col("b.doc")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

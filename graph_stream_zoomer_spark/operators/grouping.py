@@ -247,7 +247,9 @@ class GraphStreamGrouping:
         if self.use_vertex_labels:
             fields.append(F.col("vertex_label"))
         fields += [F.col(self._gk(i)) for i in range(len(self.vertex_grouping_keys))]
-        fields.append(F.unix_millis(F.col("event_time")).cast("string"))
+        # cast handles TIMESTAMP_NTZ inputs (parquet default); rendered as
+        # epoch millis so the id is timezone-name independent
+        fields.append(F.unix_millis(F.col("event_time").cast("timestamp")).cast("string"))
         return fields
 
     def group_vertices(self, enhanced: DataFrame) -> DataFrame:
@@ -431,7 +433,7 @@ class GraphStreamGrouping:
                 extract_property(F.col(f"{side}.vertex_properties"), k)
                 for k in self.vertex_grouping_keys
             ]
-            fields.append(F.unix_millis(rowtime_expr()).cast("string"))
+            fields.append(F.unix_millis(rowtime_expr().cast("timestamp")).cast("string"))
             return super_element_id(fields, self.config.id_hash)
 
         with_w = triples.select(
@@ -491,7 +493,7 @@ class GraphStreamGrouping:
         if self.use_edge_labels:
             fields.append(F.col("edge_label"))
         fields += [F.col(self._egk(i)) for i in range(len(self.edge_grouping_keys))]
-        fields.append(F.unix_millis(F.col("event_time")).cast("string"))
+        fields.append(F.unix_millis(F.col("event_time").cast("timestamp")).cast("string"))
         return fields
 
     def group_edges(self, enriched: DataFrame) -> DataFrame:

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k (broadcast the query set, one pass over
+the corpus — embarrassingly parallel, no shuffle except the final per-query
+top-k, which is a tiny aggregate).
+
+Scale path: LSH bucketing by random-hyperplane signs (deterministic,
+hash-derived hyperplanes — no runtime randomness) or IVF-style coarse
+quantization against a sampled centroid set; probes only matching buckets.
+
+All dot products run JVM-side via ``F.zip_with``/``F.aggregate``; the
+pandas-UDF variant exists for wide vectors where numpy BLAS wins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@F.pandas_udf(DoubleType())
+def pdf_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine for wide vectors (numpy dot per batch)."""
+    import numpy as np
+
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den > 0, num / den, 0.0)
+    return pd.Series(out)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The query side is
+    broadcast (small dim table); ranking is per-query with deterministic
+    tie-break on neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = (
+        pdf_cosine(F.col("cvec"), F.col("qvec"))
+        if use_arrow
+        else cosine_expr(F.col("cvec"), F.col("qvec"))
+    )
+    scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col: Column | str, bits: int = 8, dim: int | None = None) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of ``bits``
+    deterministic pseudo-random hyperplanes. Hyperplane j's i-th component
+    is derived as (xxhash64(j, i) % 2001 - 1000)/1000 — reproducible on any
+    worker with no broadcast state."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def plane_dot(j: int) -> Column:
+        comp = F.zip_with(
+            v,
+            idx,
+            lambda x, i: x.cast("double")
+            * ((F.pmod(F.xxhash64(F.lit(j), i), F.lit(2001)) - 1000).cast("double") / 1000.0),
+        )
+        return F.aggregate(comp, F.lit(0.0), lambda acc, y: acc + y)
+
+    bucket = F.lit(0).cast("long")
+    for j in range(bits):
+        bucket = bucket.bitwiseOR(
+            F.when(plane_dot(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. At 100 TB the corpus is written bucketed by this key
+    (bucketBy/partitionBy _bkt), so a query touches one bucket's files."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_bucket(vec_col, bits).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_bucket(vec_col, bits).alias("_bkt"),
+    )
+    joined = c.join(F.broadcast(q), "_bkt").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids = a deterministic corpus sample
+    (every ⌈n/n_centroids⌉-th id); each corpus vector is assigned to its
+    nearest centroid (broadcast join, no shuffle); a query probes its
+    ``n_probe`` nearest centroid cells only."""
+    ids = corpus.select(F.col(id_col).alias("cid")).orderBy("cid")
+    n = corpus.count()
+    step = max(1, n // n_centroids)
+    cent = (
+        ids.withColumn("rn", F.row_number().over(Window.orderBy("cid")))
+        .where((F.col("rn") - 1) % step == 0)
+        .limit(n_centroids)
+        .join(corpus, F.col("cid") == F.col(id_col))
+        .select(F.col("cid").alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    assign_w = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "cvec",
+            "centroid_id",
+            cosine_expr(F.col("cvec"), F.col("centroid")).alias("sim"),
+        )
+        .withColumn("r", F.row_number().over(assign_w))
+        .where("r = 1")
+        .select("neighbor_id", "cvec", "centroid_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qvec", "centroid_id", cosine_expr(F.col("qvec"), F.col("centroid")).alias("sim")
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    joined = assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
