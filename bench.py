@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
+   "cpus": N}
+
+The flagship measurement is windowed graph-stream grouping throughput over
+a deterministic synthetic transcript stream (grouped turns/sec — the
+north-star metric); the remaining queries cover the operator families.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcript conversations for the flagship throughput run (~9 turns each)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gsz-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
+    """Returns ({query: seconds}, extras)."""
+    import __spark_entry__ as entry
+
+    from graph_stream_zoomer_spark import Count, AvgProperty, StreamGraphConfig, WindowConfig
+    from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+    from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts, transcript_graph
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # --- flagship: windowed graph grouping over synthetic transcripts ----
+    t = generate_transcripts(spark, N_CONVS)
+    n_turns = t.count()  # materialization cost excluded from the grouping timing
+
+    def flagship():
+        cfg = StreamGraphConfig(window=WindowConfig.tumbling(600, "SECONDS"))
+        graph = transcript_graph(t, cfg, use_arrow=False)
+        op = (
+            GroupingBuilder()
+            .add_vertex_grouping_key(":label")
+            .add_vertex_aggregate_function(Count())
+            .add_vertex_aggregate_function(AvgProperty("text_len"))
+            .add_edge_grouping_key(":label")
+            .add_edge_aggregate_function(Count())
+            .set_window_config(cfg.window)
+            .set_config(cfg)
+            .build()
+        )
+        out = graph.apply(op)
+        return out.vertices.count() + out.edges.count()
+
+    run("graph_grouping_transcripts", flagship)
+    extras["turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / timings["graph_grouping_transcripts"], 1)
+
+    # --- operator-family queries over the driver tables ------------------
+    qs = entry.queries()
+    for name in [
+        "graph_group_role_count",
+        "graph_group_role_count_salted",
+        "graph_group_edge_transition",
+        "graph_group_sliding",
+        "graph_group_session",
+        "dedup_fingerprint",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "embedding_stats",
+        "text_stats",
+        "media_digests",
+    ]:
+        fn = qs[name]
+        run(name, lambda f=fn: f(spark, sf_dir).count())
+
+    return timings, extras
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    try:
+        timings, extras = bench_queries(spark, SF_DIR)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "grouped turns/sec (windowed graph-grouping throughput) + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -464,6 +464,37 @@ class GraphStreamGrouping:
             )
         )
 
+    def expand_triples_stateless(self, triples: DataFrame) -> DataFrame:
+        """Streaming-safe endpoint expansion: pure projection computing
+        super source/target ids from the inlined endpoint vertices, keeping
+        the raw event_time (no dedup, no window materialization — the caller
+        chains dropDuplicatesWithinWatermark + windowed agg). Tumbling only:
+        the rowtime entering the endpoint hash is derived row-locally from
+        event_time, which is single-valued only for tumbling windows."""
+        assert self.window.kind == WindowKind.TUMBLING
+        w = window_expr(self.window, "event_time")
+        rowtime = w["end"] - F.expr("INTERVAL 1 MILLISECOND")
+
+        def endpoint_super_id(side: str) -> Column:
+            fields: list[Column] = []
+            if self.use_vertex_labels:
+                fields.append(F.col(f"{side}.vertex_label"))
+            fields += [
+                extract_property(F.col(f"{side}.vertex_properties"), k)
+                for k in self.vertex_grouping_keys
+            ]
+            fields.append(F.unix_millis(rowtime.cast("timestamp")).cast("string"))
+            return super_element_id(fields, self.config.id_hash)
+
+        return triples.select(
+            "edge_id",
+            "edge_label",
+            "edge_properties",
+            endpoint_super_id("source").alias("source_id"),
+            endpoint_super_id("target").alias("target_id"),
+            "event_time",
+        )
+
     # ------------------------------------------------------------------
     # Stage 8 — enrichEdgesWithSuperVertices (GraphStreamGrouping.java:262-265)
     # ------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Top-level streaming job: transcript stream → grouped summary streams →
+idempotent sinks, resumable from checkpoint.
+
+This is the deployable unit (spark-submit --py-files entry point, see
+scripts/run_streaming_job.py). Two structured-streaming queries run side by
+side — vertex summaries and edge summaries — each with its own checkpoint
+location and sink; both read the same input stream.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import StreamGraphConfig
+from ..model import split_triples
+from ..operators.grouping import GraphStreamGrouping
+from .binding import streaming_transcript_triples, streaming_vertex_observations
+from .pipeline import streaming_edge_summaries, streaming_vertex_summaries
+from .sink import IdempotentParquetSink, ProgressListener
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+@dataclass
+class StreamingJobResult:
+    vertex_sink: IdempotentParquetSink
+    edge_sink: IdempotentParquetSink
+    listener: ProgressListener
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    input_path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Transcript source: Iceberg table when a catalog is configured
+    (``fmt='iceberg'`` → ``readStream.format('iceberg').load(table)``),
+    parquet directory otherwise (this sandbox)."""
+    if fmt == "iceberg":
+        return spark.readStream.format("iceberg").load(input_path)
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def run_grouping_job(
+    spark: SparkSession,
+    turns: DataFrame,
+    op: GraphStreamGrouping,
+    out_root: str,
+    *,
+    available_now: bool = True,
+    max_turn_gap: str = "1 hour",
+) -> StreamingJobResult:
+    """Launch vertex+edge summary queries; with available_now=True blocks
+    until the current input is drained (the test/backfill mode — production
+    uses processingTime triggers and runs forever)."""
+    cfg: StreamGraphConfig = op.config
+    wm = cfg.watermark_delay
+
+    triples = streaming_transcript_triples(turns, watermark=wm, max_turn_gap=max_turn_gap)
+    vertices = streaming_vertex_observations(turns, watermark=wm, max_turn_gap=max_turn_gap)
+
+    sv = streaming_vertex_summaries(op, vertices)
+    se = streaming_edge_summaries(op, triples)
+
+    listener = ProgressListener()
+    listener.attach(spark)
+
+    v_sink = IdempotentParquetSink(os.path.join(out_root, "vertices"))
+    e_sink = IdempotentParquetSink(os.path.join(out_root, "edges"))
+
+    def start(df: DataFrame, sink: IdempotentParquetSink, name: str):
+        w = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(out_root, f"_checkpoints/{name}"))
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q1 = start(sv, v_sink, "vertex_summaries")
+    q2 = start(se, e_sink, "edge_summaries")
+    if available_now:
+        q1.awaitTermination()
+        q2.awaitTermination()
+    listener.detach(spark)
+    return StreamingJobResult(vertex_sink=v_sink, edge_sink=e_sink, listener=listener)

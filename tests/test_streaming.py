@@ -1,0 +1,175 @@
+"""Streaming pipeline tests: watermark semantics, exactly-once sink,
+checkpoint resume, lineage/metrics (SURVEY.md §5 port, streaming leg)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark import Count, StreamGraphConfig, WindowConfig
+from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+from graph_stream_zoomer_spark.sources.transcripts import (
+    generate_transcripts,
+    transcript_graph,
+)
+from graph_stream_zoomer_spark.streaming.job import read_transcript_stream, run_grouping_job
+from graph_stream_zoomer_spark.streaming.sink import IdempotentParquetSink
+
+WINDOW_S = 60
+
+
+def _op(salt: int = 0):
+    cfg = StreamGraphConfig(
+        window=WindowConfig.tumbling(WINDOW_S, "SECONDS"),
+        watermark_delay="10 seconds",
+        salt_buckets=salt,
+    )
+    return (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .add_edge_grouping_key(":label")
+        .add_edge_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+
+
+def _sentinel(spark):
+    """A far-future junk conversation that pushes the watermark past every
+    real window so append mode emits them all."""
+    return spark.createDataFrame(
+        [("zz_flush", 0, "user", "flush", "", "2030-01-01 00:00:00"),
+         ("zz_flush", 1, "assistant", "flush", "", "2030-01-01 00:00:05")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _batch_expected(spark, turns):
+    """Ground truth from the batch engine on the same (real) turns."""
+    graph = transcript_graph(turns, use_arrow=False)
+    out = graph.apply(_op())
+    sv = {
+        (r["vertex_label"], r["event_time"]): int(r["vertex_properties"]["count"])
+        for r in out.vertices.collect()
+    }
+    se = {
+        (r["edge_label"], r["event_time"]): int(r["edge_properties"]["count"])
+        for r in out.edges.collect()
+    }
+    return sv, se
+
+
+@pytest.fixture()
+def turns_dir(spark, tmp_path):
+    turns = generate_transcripts(spark, 60, late_fraction_pct=0, skew=False)
+    d = str(tmp_path / "turns")
+    turns.unionByName(_sentinel(spark)).repartition(4).write.parquet(d)
+    return d, turns
+
+
+def _collect_sink(spark, sink: IdempotentParquetSink, label_col: str):
+    df = sink.read(spark)
+    if df is None:
+        return {}
+    rows = df.where(F.col("window_start") < "2029-01-01").collect()
+    return {(r[label_col], r["event_time"]): int(r["count"]) for r in rows}
+
+
+def test_streaming_matches_batch(spark, tmp_path, turns_dir):
+    d, turns = turns_dir
+    stream = read_transcript_stream(spark, d)
+    result = run_grouping_job(spark, stream, _op(), str(tmp_path / "out"))
+    exp_sv, exp_se = _batch_expected(spark, turns)
+    got_sv = _collect_sink(spark, result.vertex_sink, "vertex_label")
+    got_se = _collect_sink(spark, result.edge_sink, "edge_label")
+    assert got_sv == exp_sv
+    assert got_se == exp_se
+    # lineage recorded with per-partition counts
+    assert os.path.exists(result.vertex_sink.lineage_path)
+    assert all("partitions" in b for b in result.vertex_sink.metrics.batches)
+    # engine progress captured by the listener
+    assert len(result.listener.progress) >= 1
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Run to completion on chunk 1, stop, append chunk 2, resume from the
+    same checkpoint: no duplicated (window, key) rows; union equals batch."""
+    all_turns = generate_transcripts(spark, 60, late_fraction_pct=0, skew=False)
+    # split by TIME, not by conversation: everything in chunk 2 is ahead of
+    # run 1's final watermark, so it extends open windows instead of being
+    # (correctly) dropped as late data
+    cutoff = all_turns.selectExpr("percentile(cast(ts as double), 0.5) as m").collect()[0]["m"]
+    chunk1 = all_turns.where(F.col("ts").cast("double") < cutoff)
+    chunk2 = all_turns.where(F.col("ts").cast("double") >= cutoff)
+    d = str(tmp_path / "turns")
+    chunk1.repartition(2).write.mode("append").parquet(d)
+    out_root = str(tmp_path / "out")
+
+    stream = read_transcript_stream(spark, d)
+    r1 = run_grouping_job(spark, stream, _op(), out_root)
+
+    chunk2.unionByName(_sentinel(spark)).repartition(2).write.mode("append").parquet(d)
+    stream2 = read_transcript_stream(spark, d)
+    r2 = run_grouping_job(spark, stream2, _op(), out_root)
+
+    exp_sv, exp_se = _batch_expected(spark, all_turns)
+    got_sv = _collect_sink(spark, r2.vertex_sink, "vertex_label")
+    got_se = _collect_sink(spark, r2.edge_sink, "edge_label")
+    assert got_sv == exp_sv
+    assert got_se == exp_se
+    # exactly-once: every (window, key) appears in exactly one committed batch
+    df = r2.vertex_sink.read(spark)
+    dupes = (
+        df.groupBy("window_start", "vertex_label").count().where("count > 1").count()
+    )
+    assert dupes == 0
+
+
+def test_sink_idempotent_redelivery(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    batch = spark.createDataFrame([(1, "a")], "k int, v string")
+    sink(batch, 0)
+    sink(batch, 0)  # re-delivered after simulated failure
+    assert sink.read(spark).count() == 1
+    assert len(sink.metrics.batches) == 1
+
+
+def test_late_rows_dropped(spark, tmp_path):
+    """Rows later than the watermark are dropped by the windowed agg —
+    reference behavior (Flink bounded OOO discard)."""
+    rows = [
+        ("c1", 0, "user", "t", "", "2025-01-01 00:00:01"),
+        ("c1", 1, "assistant", "t", "", "2025-01-01 00:00:05"),
+        # watermark pusher: far ahead, same stream
+        ("c9", 0, "user", "t", "", "2025-01-01 02:00:00"),
+        ("c9", 1, "assistant", "t", "", "2025-01-01 02:00:03"),
+    ]
+    late = [
+        # arrives in a later file, event time far behind the watermark
+        ("c1", 2, "user", "late", "", "2025-01-01 00:00:20"),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+
+    def mk(data):
+        return (
+            spark.createDataFrame(data, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    d = str(tmp_path / "turns")
+    mk(rows).coalesce(1).write.mode("append").parquet(d)
+    out_root = str(tmp_path / "out")
+    run_grouping_job(spark, read_transcript_stream(spark, d), _op(), out_root)
+
+    mk(late).coalesce(1).write.mode("append").parquet(d)
+    r2 = run_grouping_job(spark, read_transcript_stream(spark, d), _op(), out_root)
+    got = _collect_sink(spark, r2.vertex_sink, "vertex_label")
+    # the late c1 turn-2 vertex (00:00:20) must NOT appear: its window
+    # [00:00,00:01) closed when the watermark passed 02:00 - 10s
+    assert all(v == 1 for v in got.values())
+    labels = {k[0] for k in got}
+    assert labels == {"user", "assistant"}
