@@ -21,17 +21,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (small, pre-explode) doc table to the session's
+    parallelism: doc corpora often arrive as a handful of files, and the
+    explode-heavy operators below would otherwise run the entire
+    shingle/token fan-out on one core. The shuffle moves only the compact
+    pre-explode rows."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def normalized_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Each shingle is built from ``n`` O(1) array lookups (``F.get`` is
+    null-safe out of bounds; ``concat_ws`` drops the nulls at the tail) —
+    NOT ``F.slice``, which copies and makes shingling O(words²) per doc.
+    """
     c = normalized_text(col)
     toks = F.split(c, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]))
     return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
 
 
@@ -74,7 +89,7 @@ def ngram_jaccard_pairs(
     (frequent-shingle stopwording) — at corpus scale this bounds the join
     fan-out; None keeps all (exact result, used by the oracle tests).
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     if max_shingle_df is not None:
@@ -134,29 +149,41 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: shingle → minhash → band → bucket-join.
 
-    Signature computation is a pure projection; the only shuffle is the
-    (band, bucket-hash) groupBy. Pairs are emitted per shared bucket then
-    distinct-ed. Verify candidates with ngram_jaccard on the candidate set.
+    Plan shape (all whole-stage-codegen, no interpreted array lambdas in the
+    hot path): explode shingles → explode hash index → hash → two partial-
+    aggregating groupBys (min per (doc, i), band bucket per (doc, band)) →
+    bucket self-join. Map-side combine means the shuffles carry at most
+    num_hashes (resp. bands) rows per doc per partition, independent of
+    document length. Verify candidates with ngram_jaccard on the pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_hashes, reproducible).alias("sig"),
+    docs = _spread(docs)
+    postings = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
+    ).withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+    if reproducible:
+        h = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
+    else:
+        h = F.format_string("%016x", F.xxhash64("i", "shingle"))
+    minh = (
+        postings.select("doc", "i", h.alias("h"))
+        .groupBy("doc", "i")
+        .agg(F.min("h").alias("h"))
     )
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = (
+        minh.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "h"))), lambda s: s["h"]
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -195,13 +222,38 @@ def simhash64(col: Column | str) -> Column:
     return out
 
 
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, simhash) via exploded tokens + 64 codegen'd vote aggregates —
+    the scale form of simhash64 (one shuffle, map-side combined; no
+    interpreted array lambdas)."""
+    toks = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(F.split(normalized_text(text_col), " "), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        sim = sim.bitwiseOR(F.when(F.col(f"_b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    return votes.select("doc", sim.alias("simhash"))
+
+
 def simhash_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing the top ``prefix_bits`` of
     their simhash (banded-prefix blocking; at scale, repeat over rotated
     hashes for full Hamming coverage)."""
-    s = docs.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("simhash"))
+    s = simhash_table(docs, id_col, text_col)
     block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
     s = s.select("doc", "simhash", block)
     a, b = s.alias("a"), s.alias("b")

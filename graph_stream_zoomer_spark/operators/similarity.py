@@ -42,8 +42,8 @@ def pdf_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine for wide vectors (numpy dot per batch)."""
     import numpy as np
 
-    av = np.stack(a.to_numpy())
-    bv = np.stack(b.to_numpy())
+    av = np.stack(a.to_numpy()).astype(np.float64)  # float32 input → double math,
+    bv = np.stack(b.to_numpy()).astype(np.float64)  # matching the Catalyst path
     num = (av * bv).sum(axis=1)
     den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):

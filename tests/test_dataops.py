@@ -1,0 +1,175 @@
+"""Unit tests for the training-data pipeline operators: planted duplicates
+must be found, clean docs must not be flagged; pandas-UDF and Catalyst text
+functions must agree; ANN rankings must match brute force on easy cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark.functions.text import (
+    expr_lang_id,
+    expr_quality_score,
+    expr_text_len,
+    expr_token_count,
+    pdf_lang_id,
+    pdf_quality_score,
+    pdf_rolling_fingerprint,
+    pdf_text_len,
+    pdf_token_count,
+)
+from graph_stream_zoomer_spark.operators.dedup import (
+    exact_duplicates,
+    embedding_near_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from graph_stream_zoomer_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from graph_stream_zoomer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden as morning light "
+    "spreads across the quiet village streets"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + "!!!"),  # fingerprint dup of 0 (punctuation only)
+        (3, BASE.replace("dog", "hound")),  # near dup (1 token changed)
+        (4, "completely different content about spark query planning and shuffles"),
+        (5, "another unrelated short text on benchmarking joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_fingerprint(docs):
+    e = exact_duplicates(docs).collect()
+    assert len(e) == 1 and e[0]["n_docs"] == 2 and e[0]["keeper_id"] == 0
+    f = fingerprint_duplicates(docs).collect()
+    assert len(f) == 1 and f[0]["n_docs"] == 3 and f[0]["keeper_id"] == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted(docs):
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cands
+    assert (0, 3) in cands  # near dup shares most shingles → some band collides
+    assert (4, 5) not in cands
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, reproducible=False).collect()
+    }
+    assert (0, 1) in fast
+
+
+def test_simhash(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_duplicates(docs, prefix_bits=4).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    if (0, 3) in pairs:
+        assert pairs[(0, 3)] <= 16  # near dup → small hamming distance
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.00), 0),
+        (1, unit(0.01), 0),  # nearest to 0
+        (2, unit(0.30), 0),
+        (3, unit(1.50), 1),
+        (4, unit(3.00), 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.where("vec_id = 0")
+    top = brute_force_topk(vectors, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in top] == [1, 2]
+    arrow = brute_force_topk(vectors, q, k=2, use_arrow=True).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in arrow] == [r["neighbor_id"] for r in top]
+    for ra, rt in zip(arrow, top, strict=True):
+        assert ra["cosine"] == pytest.approx(rt["cosine"], abs=1e-5)
+
+
+def test_lsh_and_ivf_topk(vectors):
+    q = vectors.where("vec_id = 0")
+    lsh = lsh_topk(vectors, q, k=2, bits=2).collect()
+    assert any(r["neighbor_id"] == 1 for r in lsh)  # hyperplane bucket keeps the near one
+    ivf = ivf_topk(vectors, q, k=2, n_centroids=2, n_probe=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in ivf] == [1, 2]
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_near_duplicates(vectors, 0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_text_functions_pandas_matches_catalyst(spark, docs):
+    df = docs.select(
+        "doc_id",
+        expr_text_len("text").alias("e_len"),
+        pdf_text_len(F.col("text")).alias("p_len"),
+        expr_token_count("text").alias("e_tok"),
+        pdf_token_count(F.col("text")).alias("p_tok"),
+        expr_quality_score("text").alias("e_q"),
+        pdf_quality_score(F.col("text")).alias("p_q"),
+        expr_lang_id("text").alias("e_lang"),
+        pdf_lang_id(F.col("text")).alias("p_lang"),
+    )
+    for r in df.collect():
+        assert r["e_len"] == r["p_len"]
+        assert r["e_tok"] == r["p_tok"]
+        assert abs(r["e_q"] - r["p_q"]) < 1e-9
+        assert r["e_lang"] == r["p_lang"]
+    assert df.where("doc_id = 0").collect()[0]["e_lang"] == "en"
+    # rolling fingerprint: equal docs hash equal, different docs differ
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", pdf_rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[1] and fps[0] != fps[4]
+
+
+def test_multimodal_plumbing(docs):
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["digest"] == by_id[1]["digest"]  # same payload → same digest
+    assert by_id[0]["digest"] != by_id[4]["digest"]
+    assert all(r["n_bytes"] > 0 and r["feat_dim"] == 16 for r in feats)
+
+
+def test_multimodal_decode_stub_raises(docs):
+    media = documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, fake=False).collect()
