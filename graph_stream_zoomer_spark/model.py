@@ -135,6 +135,12 @@ class StreamGraph:
     # Original triples when constructed from a triple stream; enables the
     # joinless edge-expansion fast path (SURVEY.md §2.4 J1/J2 note).
     triples: DataFrame | None = None
+    # Producer hint: vertex/edge observations are already distinct (one row
+    # per element id), so the windowed-DISTINCT stage (A6) can become a pure
+    # window-assignment projection — saves one full shuffle per side. True
+    # for the transcript binding (one row per turn / per successor pair);
+    # False for raw triple splits, where a vertex repeats per incident edge.
+    elements_unique: bool = False
 
     @staticmethod
     def from_triples(triples: DataFrame, config: StreamGraphConfig | None = None) -> "StreamGraph":
@@ -179,6 +185,33 @@ class StreamGraph:
             b.add_edge_aggregate_function(a)
         b.set_window_config(self.config.window)
         return self.apply(b.build())
+
+    # -- sinks (S7 print, S8 CSV; model/graph/StreamGraph.java:125-161) ----
+    def print(self, n: int = 20) -> None:
+        """Print the graph as triples (StreamGraph.print parity)."""
+        t = self.to_triples()
+        if t.isStreaming:
+            t.writeStream.format("console").outputMode("append").start()
+        else:
+            t.show(n, truncate=False)
+
+    def print_vertices(self, n: int = 20) -> None:
+        if self.vertices.isStreaming:
+            self.vertices.writeStream.format("console").outputMode("append").start()
+        else:
+            self.vertices.show(n, truncate=False)
+
+    def print_edges(self, n: int = 20) -> None:
+        if self.edges.isStreaming:
+            self.edges.writeStream.format("console").outputMode("append").start()
+        else:
+            self.edges.show(n, truncate=False)
+
+    def write_as_csv(self, path: str) -> None:
+        """CSV sink: two outputs <path>_V / <path>_E (writeAsCsv parity)."""
+        from .sources.csv import write_graph_csv
+
+        write_graph_csv(self.vertices, self.edges, path)
 
     def to_triples(self) -> DataFrame:
         """Re-join super-vertices to super-edges as a triple stream

@@ -145,6 +145,20 @@ class GraphStreamGrouping:
             rowtime_expr().alias("event_time"),
         )
 
+    def assign_window_vertices(self, vertices: DataFrame) -> DataFrame:
+        """Dedup-free variant of stage 1 for producers that guarantee
+        distinct observations (StreamGraph.elements_unique): window
+        assignment as a pure projection — no shuffle. Tumbling only (one
+        window per row in a projection)."""
+        assert self.window.kind == WindowKind.TUMBLING
+        w = window_expr(self.window, "event_time")
+        return vertices.select(
+            w.alias("window"),
+            "vertex_id",
+            "vertex_label",
+            "vertex_properties",
+        ).withColumn("event_time", rowtime_expr())
+
     # ------------------------------------------------------------------
     # Stage 2 — deduplicateEdges (GraphStreamGrouping.java:160-173)
     # ------------------------------------------------------------------
@@ -417,11 +431,16 @@ class GraphStreamGrouping:
             out["source_id"], tgt["_tsvid"].alias("target_id"), out["event_time"], out["window"],
         )
 
-    def edges_with_super_vertices_from_triples(self, triples: DataFrame) -> DataFrame:
+    def edges_with_super_vertices_from_triples(
+        self, triples: DataFrame, edges_unique: bool = False
+    ) -> DataFrame:
         """Joinless fast path when the input is a triple stream: each edge
         carries both endpoint vertices inline (StreamTriple), so super
         source/target ids are *recomputed* per edge — no shuffle at all on
-        the edge-expansion path. Tumbling/sliding only."""
+        the edge-expansion path. Tumbling/sliding only.
+
+        ``edges_unique`` skips the windowed-dedup groupBy (one fewer
+        shuffle) when the producer guarantees distinct edge observations."""
         assert self.window.kind != WindowKind.SESSION
         w = window_expr(self.window, "event_time")
 
@@ -439,6 +458,16 @@ class GraphStreamGrouping:
         with_w = triples.select(
             w.alias("window"), "edge_id", "edge_label", "edge_properties", "source", "target"
         )
+        if edges_unique and self.window.kind == WindowKind.TUMBLING:
+            return with_w.select(
+                "window",
+                "edge_id",
+                "edge_label",
+                "edge_properties",
+                endpoint_super_id("source").alias("source_id"),
+                endpoint_super_id("target").alias("target_id"),
+                rowtime_expr().alias("event_time"),
+            )
         expanded = with_w.select(
             "window",
             "edge_id",
@@ -576,14 +605,20 @@ class GraphStreamGrouping:
     # performGrouping (GraphStreamGrouping.java:99-144)
     # ------------------------------------------------------------------
     def execute(self, graph: StreamGraph) -> StreamGraph:
-        deduped_v = self.dedup_vertices(graph.vertices)  # 1
+        unique = graph.elements_unique and self.window.kind == WindowKind.TUMBLING
+        if unique:
+            deduped_v = self.assign_window_vertices(graph.vertices)  # 1 (shuffle-free)
+        else:
+            deduped_v = self.dedup_vertices(graph.vertices)  # 1
         enhanced_v = self.enhance_vertices(deduped_v)  # 3
         grouped_v = self.group_vertices(enhanced_v)  # 4
         super_vertices = self.create_super_vertices(grouped_v)  # 5
 
         if graph.triples is not None and self.window.kind != WindowKind.SESSION:
             # joinless fast path: stages 2+6+7 collapse into one projection
-            edges_expanded = self.edges_with_super_vertices_from_triples(graph.triples)
+            edges_expanded = self.edges_with_super_vertices_from_triples(
+                graph.triples, edges_unique=unique
+            )
         else:
             deduped_e = self.dedup_edges(graph.edges)  # 2
             expanded = self.expand_vertices(enhanced_v, grouped_v)  # 6

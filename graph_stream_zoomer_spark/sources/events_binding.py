@@ -83,7 +83,36 @@ def events_triples(events: DataFrame) -> DataFrame:
 
 
 def events_graph(events: DataFrame, config: StreamGraphConfig | None = None) -> StreamGraph:
-    return StreamGraph.from_triples(events_triples(events), config)
+    """Single-pass vertex stream + triple stream + uniqueness hint (see
+    transcripts.transcript_graph for the plan rationale)."""
+    config = config or StreamGraphConfig()
+    t = events_to_transcripts(events)
+    w = Window.partitionBy("conv_id")
+    vertices = (
+        t.withColumn("_conv_turns", F.count(F.lit(1)).over(w))
+        .where(F.col("_conv_turns") >= 2)
+        .select(
+            F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("vertex_id"),
+            F.col("ts").alias("event_time"),
+            F.col("role").alias("vertex_label"),
+            F.map_from_arrays(
+                F.array(F.lit("value_c"), F.lit("text_len")),
+                F.array(F.col("_value").cast("string"), F.length("text").cast("string")),
+            ).alias("vertex_properties"),
+        )
+    )
+    triples = events_triples(events)
+    edges = triples.select(
+        "edge_id",
+        "edge_label",
+        "edge_properties",
+        F.col("source.vertex_id").alias("source_id"),
+        F.col("target.vertex_id").alias("target_id"),
+        "event_time",
+    )
+    return StreamGraph(
+        vertices=vertices, edges=edges, config=config, triples=triples, elements_unique=True
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

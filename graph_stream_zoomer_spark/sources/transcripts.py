@@ -199,7 +199,39 @@ def transcript_triples(t: DataFrame, use_arrow: bool = True) -> DataFrame:
     )
 
 
+def transcript_graph_vertices(t: DataFrame, use_arrow: bool = True) -> DataFrame:
+    """Vertex stream derived in ONE pass over the turns table: the set of
+    triple endpoints = every turn of a conversation with ≥2 turns, each
+    exactly once. Splitting the triple stream instead (Extractor-style,
+    split_triples) would duplicate the whole upstream subplan per endpoint
+    projection AND emit each interior turn twice — two full extra scans +
+    a dedup shuffle at 100 TB. The count-over-conversation window rides the
+    same conv_id exchange the successor lead() already needs."""
+    w = Window.partitionBy("conv_id")
+    return (
+        t.withColumn("_conv_turns", F.count(F.lit(1)).over(w))
+        .where(F.col("_conv_turns") >= 2)
+        .transform(lambda d: transcript_vertices(d, use_arrow=use_arrow))
+    )
+
+
 def transcript_graph(
     t: DataFrame, config: StreamGraphConfig | None = None, use_arrow: bool = True
 ) -> StreamGraph:
-    return StreamGraph.from_triples(transcript_triples(t, use_arrow=use_arrow), config)
+    """Transcript turns → StreamGraph with the single-pass vertex stream,
+    the triple stream for the joinless edge path, and the uniqueness hint
+    that lets the grouping operator skip both dedup shuffles."""
+    config = config or StreamGraphConfig()
+    triples = transcript_triples(t, use_arrow=use_arrow)
+    vertices = transcript_graph_vertices(t, use_arrow=use_arrow)
+    edges = triples.select(
+        "edge_id",
+        "edge_label",
+        "edge_properties",
+        F.col("source.vertex_id").alias("source_id"),
+        F.col("target.vertex_id").alias("target_id"),
+        "event_time",
+    )
+    return StreamGraph(
+        vertices=vertices, edges=edges, config=config, triples=triples, elements_unique=True
+    )

@@ -1,0 +1,103 @@
+"""Plan-quality tests: assert the physical plans we designed for, not just
+the results (the 100-TB contract — see graph_stream_zoomer_spark/plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark import Count, StreamGraphConfig, WindowConfig
+from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+from graph_stream_zoomer_spark.plans.inspect import plan_stats
+from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts, transcript_graph
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _op(cfg):
+    return (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .add_edge_grouping_key(":label")
+        .add_edge_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    """Filters and column pruning must reach the parquet scan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", F.length("text").alias("n"))
+    st = plan_stats(q)
+    assert any("lang" in f for f in st.pushed_filters), st.pushed_filters
+    assert st.scan_reads_only("doc_id", "text", "lang"), st.read_schemas
+
+
+def test_grouping_pipeline_shuffle_budget(spark):
+    """Triple fast path: the whole vertex+edge grouping must run with at
+    most one shuffle per aggregation level and ZERO joins (the expansion is
+    a projection), regardless of data size."""
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(600, "SECONDS"))
+    t = generate_transcripts(spark, 200)
+    graph = transcript_graph(t, cfg, use_arrow=False)
+    out = graph.apply(_op(cfg))
+    for df in (out.vertices, out.edges):
+        st = plan_stats(df)
+        assert st.num_broadcast_joins == 0 and st.num_sortmerge_joins == 0, st.text[:2000]
+        # exactly: lead()/count() window by conv_id + the group hash-agg.
+        # Dedup is a projection (elements_unique) and endpoint expansion is
+        # joinless — 2 shuffles end to end, independent of data size.
+        assert st.num_exchanges <= 2, f"{st.num_exchanges} exchanges\n" + st.text[:3000]
+        # codegen spans are hidden under AdaptiveSparkPlan pre-execution;
+        # Python-free-ness is asserted in test_grouping_stays_in_codegen
+
+
+def test_grouping_stays_in_codegen(spark):
+    """No Python UDFs in the default grouping hot path: every stage is
+    Catalyst expressions (BatchEvalPython/ArrowEvalPython absent)."""
+    from graph_stream_zoomer_spark import AvgProperty
+
+    def op_with_prop(cfg):
+        return (
+            GroupingBuilder()
+            .add_vertex_grouping_key(":label")
+            .add_vertex_aggregate_function(AvgProperty("text_len"))
+            .add_edge_grouping_key(":label")
+            .add_edge_aggregate_function(Count())
+            .set_window_config(cfg.window)
+            .set_config(cfg)
+            .build()
+        )
+
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(600, "SECONDS"))
+    t = generate_transcripts(spark, 200)
+    out = transcript_graph(t, cfg, use_arrow=False).apply(op_with_prop(cfg))
+    txt = plan_stats(out.vertices).text
+    assert "EvalPython" not in txt
+    # the Arrow variant routes extraction through ArrowEvalPython (by design)
+    cfg2 = StreamGraphConfig(window=cfg.window, use_arrow_extraction=True)
+    out2 = transcript_graph(t, cfg2, use_arrow=True).apply(op_with_prop(cfg2))
+    assert "ArrowEvalPython" in plan_stats(out2.vertices).text
+
+
+def test_ann_broadcasts_query_side(spark):
+    from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = brute_force_topk(emb, emb.where("vec_id < 3"), k=5)
+    st = plan_stats(q)
+    assert "BroadcastNestedLoopJoin" in st.text or st.num_broadcast_joins >= 1, st.text[:2000]
+    assert st.num_sortmerge_joins == 0
+
+
+def test_salted_agg_two_phase_shape(spark):
+    """Salted path: two aggregation levels with map-side partial combine —
+    partial_* HashAggregates must appear more than the exchange count."""
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(600, "SECONDS"), salt_buckets=8)
+    t = generate_transcripts(spark, 200)
+    out = transcript_graph(t, cfg, use_arrow=False).apply(_op(cfg))
+    txt = plan_stats(out.vertices).text
+    assert txt.count("HashAggregate") >= 4  # (partial+final) × (salted, merge)
