@@ -32,8 +32,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "200000"))
-N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "30000"))
+N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "1000000"))
+N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "100000"))
 LEVELS = (8, 32)
 
 
@@ -48,7 +48,7 @@ def worker(cpus: int, input_dir: str) -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"gsz-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.shuffle.partitions", "64")  # FIXED across levels: strong scaling varies only the worker threads, not the partitioning
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
@@ -69,7 +69,7 @@ def worker(cpus: int, input_dir: str) -> None:
     )
 
     # ---- batch flagship --------------------------------------------------
-    t = generate_transcripts(spark, N_CONVS_BATCH, num_partitions=cpus * 2)
+    t = generate_transcripts(spark, N_CONVS_BATCH, num_partitions=64)
     n_turns = t.count()
     t0 = time.time()
     out = transcript_graph(t, cfg, use_arrow=False).apply(op)
