@@ -249,6 +249,55 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_graph_triples_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: re-join super-vertices to super-edges as summary triples
+    (model/graph/StreamGraph.java:170-226) — validates the stream-stream
+    summary join shape against a plain SQL reconstruction."""
+    cfg = _cfg()
+    g = events_graph(load_events(spark, sf_dir), cfg)
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .add_edge_grouping_key(":label")
+        .add_edge_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    triples = g.apply(op).to_triples()
+    return triples.select(
+        F.col("edge_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000)
+        .cast("bigint")
+        .alias("window_end_s"),
+        F.element_at(F.col("edge_properties"), "count").cast("bigint").alias("edge_cnt"),
+        F.element_at(F.col("source.vertex_properties"), "count").cast("bigint").alias("source_cnt"),
+        F.element_at(F.col("target.vertex_properties"), "count").cast("bigint").alias("target_cnt"),
+    )
+
+
+_TRIPLES_JOIN_SQL = f"""
+WITH {_SQL_T}, {_SQL_EDGES},
+sv AS (
+  SELECT role, {_win_end_s('ts')} AS window_end_s, COUNT(*) AS cnt
+  FROM v GROUP BY 1, 2
+),
+se AS (
+  SELECT role || '->' || n_role AS edge_label,
+         {_win_end_s('n_ts')} AS window_end_s, COUNT(*) AS ecnt
+  FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT se.edge_label, se.window_end_s, se.ecnt AS edge_cnt,
+       s.cnt AS source_cnt, tt.cnt AS target_cnt
+FROM se
+JOIN sv s  ON s.role = split_part(se.edge_label, '->', 1)
+          AND s.window_end_s = se.window_end_s
+JOIN sv tt ON tt.role = split_part(se.edge_label, '->', 2)
+          AND tt.window_end_s = se.window_end_s
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -557,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_property_textlen": q_graph_group_property_textlen,
         "graph_group_sliding": q_graph_group_sliding,
         "graph_group_session": q_graph_group_session,
+        "graph_triples_join": q_graph_triples_join,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -584,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_property_textlen": _PROPERTY_SQL,
         "graph_group_sliding": _SLIDING_SQL,
         "graph_group_session": _SESSION_SQL,
+        "graph_triples_join": _TRIPLES_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -97,34 +97,63 @@ def streaming_vertex_observations(
     watermark: str = "10 seconds",
     max_turn_gap: str = "1 hour",
 ) -> DataFrame:
-    """Vertex observation stream (Extractor analog): the two endpoint
-    projections of the successor join, unioned.
+    """Vertex observation stream: every triple endpoint exactly once,
+    WITHOUT replaying the full successor join.
 
-    Built with *direct* column references (``a.ts``/``b.ts``), never routed
-    through a struct: Spark tracks the event-time/watermark marker by
-    attribute, and packing into a struct would strip it — downstream
-    stateful operators (dedup, windowed agg) need the marker. The watermark
-    is defined exactly once, on the join inputs; downstream operators must
-    NOT call withWatermark again (Spark forbids redefinition once multiple
-    stateful operators are allowed)."""
-    joined = _joined_successors(turns, watermark, max_turn_gap)
+    The endpoint set of the successor-edge stream is: all turns with
+    turn_idx ≥ 1 (each is some edge's target) plus turn-0 rows of
+    conversations that have a turn 1 (each is the first edge's source).
+    So the stream is a union of
+      (a) a completely STATELESS branch — turns with turn_idx ≥ 1 — which
+          is ~8/9 of the volume and holds no join state at all, and
+      (b) a narrow join of turn-0 rows against turn-1 rows only
+          (two ~1/9-size inputs) that validates the conversation has ≥2
+          turns.
+    A naive split_triples-style union of the join's two endpoint
+    projections would instead instantiate the FULL stream-stream join once
+    per branch (Spark plans trees, not DAGs) — 2× full join state and 2×
+    the shuffle, and each interior turn arrives twice, forcing a dedup
+    state store downstream. This shape needs no dedup: the branches are
+    disjoint and each turn appears exactly once.
 
-    def vertex_side(side: str) -> DataFrame:
-        text_c = F.col(f"{side}.text")
-        return joined.select(
+    Watermark/event-time columns are direct attribute references
+    throughout (never repacked through structs, which strips the
+    event-time marker), and the watermark is defined once per source
+    branch — never redefined downstream of a stateful operator."""
+
+    def vertex_proj(df: DataFrame, prefix: str = "") -> DataFrame:
+        return df.select(
             F.concat_ws(
-                ":", F.col(f"{side}.conv_id"), F.col(f"{side}.turn_idx").cast("string")
+                ":", F.col(f"{prefix}conv_id"), F.col(f"{prefix}turn_idx").cast("string")
             ).alias("vertex_id"),
-            F.col(f"{side}.ts").alias("event_time"),
-            F.col(f"{side}.role").alias("vertex_label"),
+            F.col(f"{prefix}ts").alias("event_time"),
+            F.col(f"{prefix}role").alias("vertex_label"),
             F.map_from_arrays(
                 F.array(F.lit("tool"), F.lit("text_len"), F.lit("hour_bucket")),
                 F.array(
-                    F.col(f"{side}.tool"),
-                    F.length(text_c).cast("string"),
-                    F.date_format(F.col(f"{side}.ts"), "yyyy-MM-dd HH"),
+                    F.col(f"{prefix}tool"),
+                    F.length(F.col(f"{prefix}text")).cast("string"),
+                    F.date_format(F.col(f"{prefix}ts"), "yyyy-MM-dd HH"),
                 ),
             ).alias("vertex_properties"),
         )
 
-    return vertex_side("a").unionByName(vertex_side("b"))
+    rest = vertex_proj(
+        turns.withWatermark("ts", watermark).where(F.col("turn_idx") >= 1)
+    )
+    t0 = turns.withWatermark("ts", watermark).where(F.col("turn_idx") == 0).alias("a")
+    t1 = (
+        turns.withWatermark("ts", watermark)
+        .where(F.col("turn_idx") == 1)
+        .select(F.col("conv_id").alias("_c1"), F.col("ts").alias("_ts1"))
+        .alias("b")
+    )
+    first = t0.join(
+        t1,
+        (F.col("a.conv_id") == F.col("_c1"))
+        & (F.col("_ts1") >= F.col("a.ts"))
+        & (F.col("_ts1") <= F.col("a.ts") + F.expr(f"INTERVAL {max_turn_gap}")),
+        "inner",
+    )
+    first_v = vertex_proj(first.select("a.*"))
+    return rest.unionByName(first_v)

@@ -68,13 +68,22 @@ def run_grouping_job(
     triples = streaming_transcript_triples(turns, watermark=wm, max_turn_gap=max_turn_gap)
     vertices = streaming_vertex_observations(turns, watermark=wm, max_turn_gap=max_turn_gap)
 
-    sv = streaming_vertex_summaries(op, vertices)
+    # the transcript binding emits each turn exactly once → no dedup state
+    sv = streaming_vertex_summaries(op, vertices, observations_unique=True)
     se = streaming_edge_summaries(op, triples)
 
     listener = ProgressListener()
     listener.attach(spark)
 
-    v_sink = IdempotentParquetSink(os.path.join(out_root, "vertices"))
+    # salted mode: the streaming agg emits per-salt partials (append mode →
+    # each closed (window, key, salt) row exactly once); the sink's
+    # transform merges them to final rows before commit
+    v_transform = None
+    if cfg.salt_buckets > 0:
+        from .pipeline import merge_partials
+
+        v_transform = lambda b: merge_partials(op, b)  # noqa: E731
+    v_sink = IdempotentParquetSink(os.path.join(out_root, "vertices"), transform=v_transform)
     e_sink = IdempotentParquetSink(os.path.join(out_root, "edges"))
 
     def start(df: DataFrame, sink: IdempotentParquetSink, name: str):

@@ -40,27 +40,34 @@ from ..model import NO_LABEL
 from ..operators.grouping import GraphStreamGrouping, window_expr, rowtime_expr
 
 
-def streaming_vertex_summaries(op: GraphStreamGrouping, vertices: DataFrame) -> DataFrame:
+def streaming_vertex_summaries(
+    op: GraphStreamGrouping, vertices: DataFrame, observations_unique: bool = False
+) -> DataFrame:
     """Watermarked dedup + windowed vertex aggregation (stages 1+3+4+5) as a
     single continuous plan. Returns the super-vertex stream in append mode.
 
     ``vertices`` must already carry an event-time watermark on
     ``event_time`` (defined once, at the source/join inputs).
+    ``observations_unique`` skips the dedup state store when the producer
+    guarantees one row per vertex (the transcript binding does).
     """
-    v = vertices.select(
-        "vertex_id",
-        "event_time",
-        "vertex_label",
-        canonical_props("vertex_properties").alias("_props_c"),
-    ).dropDuplicatesWithinWatermark(["vertex_id", "event_time"])
-    enhanced = op.enhance_vertices(
-        v.select(
+    if observations_unique:
+        enhanced = op.enhance_vertices(vertices)
+    else:
+        v = vertices.select(
             "vertex_id",
             "event_time",
             "vertex_label",
-            F.map_from_entries("_props_c").alias("vertex_properties"),
+            canonical_props("vertex_properties").alias("_props_c"),
+        ).dropDuplicatesWithinWatermark(["vertex_id", "event_time"])
+        enhanced = op.enhance_vertices(
+            v.select(
+                "vertex_id",
+                "event_time",
+                "vertex_label",
+                F.map_from_entries("_props_c").alias("vertex_properties"),
+            )
         )
-    )
     group_cols = op._vertex_group_cols()
     agg_exprs = [a.agg_expr(op._agg_in(a)) for a in op.vertex_aggs] or [
         F.count(F.lit(1)).alias("_group_size")

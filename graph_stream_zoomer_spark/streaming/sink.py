@@ -48,7 +48,10 @@ class SinkMetrics:
 class IdempotentParquetSink:
     """foreachBatch sink with batchId-transactional parquet commits."""
 
-    def __init__(self, root: str, key_cols: list[str] | None = None) -> None:
+    def __init__(self, root: str, key_cols: list[str] | None = None, transform=None) -> None:
+        """``transform``: optional DataFrame→DataFrame applied to each batch
+        before commit — used for the salted final merge (merge_partials)."""
+        self.transform = transform
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.lineage_dir = os.path.join(root, "_lineage")
@@ -78,6 +81,8 @@ class IdempotentParquetSink:
         if batch_id in self._committed():
             return  # replayed batch after restart — idempotent skip
         t0 = time.time()
+        if self.transform is not None:
+            batch = self.transform(batch)
         flat = flatten_window(batch)
         part_counts = (
             flat.groupBy(F.spark_partition_id().alias("pid"))

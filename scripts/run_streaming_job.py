@@ -36,16 +36,18 @@ def parse_aggs(spec: str):
     out = []
     if not spec:
         return out
+    kinds = {"min": MinProperty, "max": MaxProperty, "sum": SumProperty, "avg": AvgProperty}
     for item in spec.split(","):
         if item == "count":
             out.append(Count())
-        else:
-            kind, key = item.split(":", 1)
-            out.append(
-                {"min": MinProperty, "max": MaxProperty, "sum": SumProperty, "avg": AvgProperty}[
-                    kind
-                ](key)
+            continue
+        kind, sep, key = item.partition(":")
+        if not sep or kind not in kinds:
+            raise SystemExit(
+                f"invalid aggregate spec {item!r}: expected 'count' or "
+                f"'{{min|max|sum|avg}}:<property>' (e.g. 'avg:text_len')"
             )
+        out.append(kinds[kind](key))
     return out
 
 

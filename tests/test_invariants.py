@@ -1,0 +1,127 @@
+"""Cross-config invariants of the grouping operator (property-style over a
+grid of configurations — the reference has no randomized tests; these pin
+the algebra the goldens can't cover exhaustively)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark import (
+    AvgProperty,
+    Count,
+    MaxProperty,
+    MinProperty,
+    StreamGraphConfig,
+    SumProperty,
+    WindowConfig,
+)
+from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts, transcript_graph
+
+CONFIGS = [
+    ([":label"], [Count()]),
+    ([":label", "tool"], [Count(), SumProperty("text_len")]),
+    (["tool"], [Count(), MinProperty("text_len"), MaxProperty("text_len")]),
+    (["hour_bucket"], [Count(), AvgProperty("text_len")]),
+    ([], [Count()]),
+]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    t = generate_transcripts(spark, 80, late_fraction_pct=0).cache()
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(120, "SECONDS"))
+    return transcript_graph(t, cfg, use_arrow=False), cfg
+
+
+@pytest.mark.parametrize("keys,aggs", CONFIGS)
+def test_count_partition_invariant(graph, keys, aggs):
+    """Counts across all vertex groups sum to the number of distinct
+    (vertex, window) observations — no row lost or double-counted, for any
+    grouping key set."""
+    g, cfg = graph
+    b = (
+        GroupingBuilder()
+        .add_vertex_grouping_keys(keys)
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+    )
+    for a in aggs:
+        b.add_vertex_aggregate_function(a)
+    out = g.apply(b.build())
+    total = out.vertices.select(
+        F.sum(F.element_at("vertex_properties", "count").cast("long")).alias("s")
+    ).collect()[0]["s"]
+    expected = (
+        g.vertices.select("vertex_id", F.window("event_time", cfg.window.size_interval))
+        .distinct()
+        .count()
+    )
+    assert total == expected
+
+
+@pytest.mark.parametrize("keys,aggs", CONFIGS[:3])
+def test_salted_equals_unsalted(graph, keys, aggs):
+    g, cfg = graph
+    def run(salt):
+        c = StreamGraphConfig(window=cfg.window, salt_buckets=salt)
+        b = (
+            GroupingBuilder()
+            .add_vertex_grouping_keys(keys)
+            .set_window_config(c.window)
+            .set_config(c)
+        )
+        for a in aggs:
+            b.add_vertex_aggregate_function(a)
+        rows = g.apply(b.build()).vertices.collect()
+        return {
+            (r["vertex_label"], r["event_time"], tuple(sorted(r["vertex_properties"].items())))
+            for r in rows
+        }
+
+    assert run(0) == run(13)
+
+
+def test_min_le_avg_le_max(graph):
+    g, cfg = graph
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(MinProperty("text_len"))
+        .add_vertex_aggregate_function(AvgProperty("text_len"))
+        .add_vertex_aggregate_function(MaxProperty("text_len"))
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    for r in g.apply(op).vertices.collect():
+        p = r["vertex_properties"]
+        lo, av, hi = float(p["min_text_len"]), float(p["avg_text_len"]), float(p["max_text_len"])
+        assert lo <= av <= hi
+
+
+def test_super_ids_consistent_across_paths(graph):
+    """expand_vertices (projection) and the grouped table agree on super ids
+    for every group — the joinless mapping is exact."""
+    g, cfg = graph
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_grouping_key("tool")
+        .add_vertex_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    deduped = op.dedup_vertices(g.vertices)
+    enhanced = op.enhance_vertices(deduped)
+    grouped = op.group_vertices(enhanced)
+    expanded = op.expand_vertices(enhanced)
+    n_groups = grouped.select("super_vertex_id").distinct().count()
+    n_from_expansion = expanded.select("super_vertex_id").distinct().count()
+    assert n_groups == n_from_expansion
+    joined = expanded.join(
+        grouped.select("super_vertex_id").distinct(), "super_vertex_id", "left_anti"
+    )
+    assert joined.count() == 0

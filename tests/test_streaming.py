@@ -129,6 +129,19 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert dupes == 0
 
 
+def test_streaming_salted_matches_batch(spark, tmp_path, turns_dir):
+    """Salted mode: streaming agg emits per-salt partials; the sink's
+    transform merges them — results identical to the unsalted batch run.
+    (Append mode emits every partial of a closed window in one batch, so
+    the merge is complete by construction.)"""
+    d, turns = turns_dir
+    stream = read_transcript_stream(spark, d)
+    result = run_grouping_job(spark, stream, _op(salt=5), str(tmp_path / "out_salted"))
+    exp_sv, _ = _batch_expected(spark, turns)
+    got_sv = _collect_sink(spark, result.vertex_sink, "vertex_label")
+    assert got_sv == exp_sv
+
+
 def test_sink_idempotent_redelivery(spark, tmp_path):
     sink = IdempotentParquetSink(str(tmp_path / "sink"))
     batch = spark.createDataFrame([(1, "a")], "k int, v string")
