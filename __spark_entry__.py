@@ -222,7 +222,7 @@ WITH {_SQL_T},
 s AS (
   SELECT role, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 600
               THEN 1 ELSE 0 END AS new_s
   FROM v
   WINDOW w AS (PARTITION BY role ORDER BY ts)
@@ -437,6 +437,34 @@ JOIN norms nc ON nc.vec_id = neighbor_id
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.operators.dedup import embedding_near_duplicates
+
+    # single round(5): re-rounding a round(6) value shifts boundary digits
+    # vs DuckDB's direct round(5)
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, decimals=5)
+
+
+_DEDUP_EMB_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 5) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = doc_a
+JOIN norms nb ON nb.vec_id = doc_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 5) >= 0.4
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
@@ -612,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -640,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         # dedup_simhash: xxhash64-based bit voting — not portable SQL (rows-only)
+        "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         # ann_*_topk: approximate/rank outputs — rows-only by design
         "embedding_stats": _EMB_STATS_SQL,

@@ -274,6 +274,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_buckets: int = 1,
+    decimals: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. ``num_buckets=1`` is the exact
     all-pairs baseline (only for modest candidate sets); >1 blocks by a
@@ -292,7 +293,7 @@ def embedding_near_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), decimals).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -148,44 +148,56 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: coarse centroids = a deterministic corpus sample
-    (every ⌈n/n_centroids⌉-th id); each corpus vector is assigned to its
-    nearest centroid (broadcast join, no shuffle); a query probes its
+    """IVF-style ANN: coarse centroids = a deterministic pseudo-random
+    corpus sample (``n_centroids`` smallest ``xxhash64(id)`` — a distributed
+    TakeOrderedAndProject, no global window, no separate count job); cell
+    assignment is a zero-shuffle argmax over the centroid array embedded as
+    a literal (the KMeans-style tiny-model broadcast); a query probes its
     ``n_probe`` nearest centroid cells only."""
-    ids = corpus.select(F.col(id_col).alias("cid")).orderBy("cid")
-    n = corpus.count()
-    step = max(1, n // n_centroids)
-    cent = (
-        ids.withColumn("rn", F.row_number().over(Window.orderBy("cid")))
-        .where((F.col("rn") - 1) % step == 0)
-        .limit(n_centroids)
-        .join(corpus, F.col("cid") == F.col(id_col))
-        .select(F.col("cid").alias("centroid_id"), F.col(vec_col).alias("centroid"))
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    assign_w = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            "cvec",
-            "centroid_id",
-            cosine_expr(F.col("cvec"), F.col("centroid")).alias("sim"),
+    cent_rows = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
         )
-        .withColumn("r", F.row_number().over(assign_w))
-        .where("r = 1")
-        .select("neighbor_id", "cvec", "centroid_id")
+        .orderBy(F.xxhash64(F.col("centroid_id")))
+        .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k, tiny driver merge
+        .collect()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "qvec", "centroid_id", cosine_expr(F.col("qvec"), F.col("centroid")).alias("sim")
+    import math
+
+    cent_lits = []  # (centroid_id, unit-normalized centroid literal)
+    for r in cent_rows:
+        nrm = math.sqrt(sum(x * x for x in r["centroid"])) or 1.0
+        cent_lits.append(
+            (r["centroid_id"], F.array(*[F.lit(x / nrm) for x in r["centroid"]]))
         )
-        .withColumn("r", F.row_number().over(probe_w))
-        .where(F.col("r") <= n_probe)
-        .select("query_id", "qvec", "centroid_id")
+
+    def nearest_cells(vec: Column, n_cells: int) -> Column:
+        """array of the n_cells centroid ids nearest to ``vec`` by cosine —
+        pure Catalyst expression, evaluated inline on each row (no join)."""
+        sims = F.array(
+            *[
+                F.struct(
+                    (dot_expr(vec, cl) / norm_expr(vec)).alias("sim"),
+                    F.lit(cid).alias("centroid_id"),
+                )
+                for cid, cl in cent_lits
+            ]
+        )
+        ranked = F.reverse(F.array_sort(sims))  # desc by (sim, centroid_id)
+        return F.slice(ranked, 1, n_cells).getField("centroid_id")
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest_cells(F.col(vec_col).cast("array<double>"), 1)[0].alias("centroid_id"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(nearest_cells(F.col(vec_col).cast("array<double>"), n_probe)).alias(
+            "centroid_id"
+        ),
     )
     joined = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
