@@ -237,6 +237,67 @@ FROM s2 GROUP BY role, sess
 """
 
 
+def q_graph_group_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same session grouping as graph_group_session, but executed as a REAL
+    Structured Streaming job through the applyInPandasWithState keyed-state
+    final merge (streaming/stateful.py) — the north-star
+    'flatMapGroupsWithState-style' stage — with an availableNow trigger and
+    the idempotent sink; the returned DataFrame is the sink read back."""
+    import tempfile
+
+    from graph_stream_zoomer_spark.streaming.sink import IdempotentParquetSink
+    from graph_stream_zoomer_spark.streaming.stateful import stateful_session_summaries
+
+    cfg = _cfg(window=WindowConfig.session(600, "SECONDS"))
+    g = events_graph(load_events(spark, sf_dir), cfg)
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    root = tempfile.mkdtemp(prefix="gsz_stateful_")
+    vdir = f"{root}/vertices"
+    # vertices are unique per turn (events_graph guarantees it); add a
+    # far-future sentinel so the final no-data batch's watermark closes
+    # every real session via the event-time timeout
+    v = g.vertices
+    sentinel = spark.range(1).select(
+        F.lit("__flush:0").alias("vertex_id"),
+        F.lit("2035-01-01 00:00:00").cast(v.schema["event_time"].dataType).alias("event_time"),
+        F.lit("__flush").alias("vertex_label"),
+        F.create_map().cast("map<string,string>").alias("vertex_properties"),
+    )
+    v.unionByName(sentinel).write.parquet(vdir)
+
+    stream = (
+        spark.readStream.schema(v.schema)
+        .parquet(vdir)
+        # parquet yields TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+        # tz is pinned UTC, so the cast is value-preserving)
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        .withWatermark("event_time", cfg.watermark_delay)
+    )
+    sv = stateful_session_summaries(op, stream)
+    sink = IdempotentParquetSink(f"{root}/out")
+    q = (
+        sv.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sink.read(spark)
+    return out.where(F.col("vertex_label") != "__flush").select(
+        F.col("vertex_label"),
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("session_start_us"),
+        F.col("count").cast("bigint").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -634,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_property_textlen": q_graph_group_property_textlen,
         "graph_group_sliding": q_graph_group_sliding,
         "graph_group_session": q_graph_group_session,
+        "graph_group_session_stateful": q_graph_group_session_stateful,
         "graph_triples_join": q_graph_triples_join,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -663,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_property_textlen": _PROPERTY_SQL,
         "graph_group_sliding": _SLIDING_SQL,
         "graph_group_session": _SESSION_SQL,
+        "graph_group_session_stateful": _SESSION_SQL,
         "graph_triples_join": _TRIPLES_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,

@@ -94,6 +94,101 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes:
+    """Stubbed image resize. Real implementation: PIL decode → resample →
+    re-encode. Deterministic fake: payload truncated/cycled to a size
+    proportional to the target pixel count (keeps downstream size-based
+    logic exercisable)."""
+    if not fake:
+        raise NotImplementedError("resize requires image libs not present in this container")
+    if payload is None:
+        return None
+    target = max(1, (width * height) // 64)
+    reps = (target + len(payload) - 1) // max(1, len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Schema-preserving payload transform (image resize) via Arrow-batched
+    mapInPandas — partition-preserving (no shuffle), same MEDIA_SCHEMA out,
+    so resizes chain with decode/feature stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda b: _resize_kernel(b, width, height, fake)
+            )
+            out["width"] = width
+            out["height"] = height
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Cardinality-changing video → frames extraction: each media row yields
+    up to ``n_frames`` frame rows (uniformly spaced). mapInPandas is the
+    right primitive because the fan-out happens inside the Arrow batch —
+    no explode of a pre-materialized frame array, so a 4K video's frames
+    never coexist as one row. Deterministic fake: frame k = the k-th
+    payload slice; real kernel would pyav-seek to frame_ts_ms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"], strict=True):
+                if payload is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "frame extraction requires video libs not present in this container"
+                    )
+                n = min(n_frames, max(1, len(payload)))
+                step = max(1, len(payload) // n)
+                for k in range(n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * frame_interval_ms)
+                    payloads.append(bytes(payload[k * step : (k + 1) * step]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used in tests/benchmarks: treat document text bytes as an
     opaque binary payload with 'image' metadata (the libs-free stand-in for

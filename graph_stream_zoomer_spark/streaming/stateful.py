@@ -100,7 +100,9 @@ def stateful_session_summaries(
     from .pipeline import _project_super_vertices
 
     assert op.window.gap_s is not None, "stateful session merge needs a session window"
-    gap_ms = int(round(op.window.gap_s * 1000))
+    # microseconds: Spark timestamps are us-resolution internally; ms-truncated
+    # state would mis-merge sessions whose gap boundary falls between ms ticks
+    gap_us = int(round(op.window.gap_s * 1_000_000))
 
     enhanced = op.enhance_vertices(vertices)
     group_cols = op._vertex_group_cols()
@@ -155,13 +157,13 @@ def stateful_session_summaries(
         else:
             starts, lasts, partials = [], [], []
 
-        wm = state.getCurrentWatermarkMs()
+        wm = state.getCurrentWatermarkMs() * 1000  # -> us
 
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if pdf.empty:
                     continue
-                ev = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+                ev = (pdf["event_time"].astype("int64") // 1_000).to_numpy()  # ns -> us
                 vals = pdf[[s for s, _ in slots]].to_numpy(dtype="float64")
                 order = ev.argsort(kind="stable")
                 for idx in order:
@@ -184,7 +186,7 @@ def stateful_session_summaries(
                 # inclusive boundary: Spark's session merge joins an event at
                 # exactly last+gap into the session (windows [s, last+gap)
                 # merge when next.start <= current.end)
-                if s <= cur[1] + gap_ms:
+                if s <= cur[1] + gap_us:
                     cur[1] = max(cur[1], last)
                     cur[2] = [
                         _merge_slot(slots[j][1], cur[2][j], p[j]) for j in range(n_slots)
@@ -194,16 +196,16 @@ def stateful_session_summaries(
         else:
             merged = []
 
-        closed = [m for m in merged if m[1] + gap_ms <= wm]
-        open_ = [m for m in merged if m[1] + gap_ms > wm]
+        closed = [m for m in merged if m[1] + gap_us <= wm]
+        open_ = [m for m in merged if m[1] + gap_us > wm]
 
         if closed:
             rows: dict[str, list] = {c: [] for c in out_cols}
             for s, last, p in closed:
                 for kf, kv in zip(group_cols, key):
                     rows[kf].append(kv)
-                rows["window_start"].append(pd.Timestamp(s, unit="ms"))
-                rows["window_end"].append(pd.Timestamp(last + gap_ms, unit="ms"))
+                rows["window_start"].append(pd.Timestamp(s, unit="us"))
+                rows["window_end"].append(pd.Timestamp(last + gap_us, unit="us"))
                 j = 0
                 for a in aggs:
                     if a.kind == "count":
@@ -232,7 +234,9 @@ def stateful_session_summaries(
                 )
             )
             # flush on watermark progress even if the key sees no new data
-            state.setTimeoutTimestamp(max(min(m[1] + gap_ms for m in open_), wm + 1))
+            # (timeout API is ms: round the earliest us close time up)
+            close_ms = -(-min(m[1] + gap_us for m in open_) // 1000)
+            state.setTimeoutTimestamp(max(close_ms, wm // 1000 + 1))
         else:
             state.remove()
 

@@ -173,3 +173,42 @@ def test_multimodal_decode_stub_raises(docs):
     media = documents_as_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_resize_chain(docs):
+    from graph_stream_zoomer_spark.operators.multimodal import resize_media
+
+    media = documents_as_media(docs)
+    resized = resize_media(media, width=64, height=32, fake=True)
+    # schema-preserving: output chains straight into the feature stage
+    assert [f.name for f in resized.schema.fields] == [f.name for f in media.schema.fields]
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    target = (64 * 32) // 64
+    assert all(r["width"] == 64 and r["height"] == 32 for r in rows)
+    assert all(len(r["payload"]) == target for r in rows)
+    feats = {r["media_id"]: r for r in extract_features(resized, fake=True).collect()}
+    assert all(f["n_bytes"] == target for f in feats.values())
+    # deterministic: identical payloads resize identically
+    assert feats[0]["digest"] == feats[1]["digest"]
+
+
+def test_multimodal_frame_sampling(docs):
+    from graph_stream_zoomer_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(docs)
+    frames = sample_frames(media, n_frames=4, frame_interval_ms=500)
+    rows = frames.collect()
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+    assert set(per_media) == {r["media_id"] for r in media.select("media_id").collect()}
+    for mid, fs in per_media.items():
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(len(fs))) and len(fs) <= 4
+        assert all(f["frame_ts_ms"] == f["frame_idx"] * 500 for f in fs)
+        assert all(len(f["payload"]) > 0 for f in fs)
+    # deterministic fan-out: identical payloads produce identical frames
+    f0 = [bytes(f["payload"]) for f in sorted(per_media[0], key=lambda f: f["frame_idx"])]
+    f1 = [bytes(f["payload"]) for f in sorted(per_media[1], key=lambda f: f["frame_idx"])]
+    assert f0 == f1
