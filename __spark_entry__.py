@@ -3,10 +3,12 @@
 Each queries() entry exercises one operator family from SURVEY.md §2 or the
 training-data pipeline additions, over the driver's parquet tables; the
 paired oracle_sql() reproduces the semantics in ANSI SQL for DuckDB.
-Keys without an oracle entry are genuinely non-SQL-expressible (LSH/IVF
+Keys without an oracle entry are genuinely non-SQL-expressible — LSH/IVF
 approximations whose value is the *candidate pruning*, not a SQL-definable
-result set) and get the driver's rows-only check; their exact-result
-counterparts (dedup_minhash_lsh, ann_cosine_scores) ARE oracle-checked.
+result set, and simhash whose signature needs Spark's xxhash64 (no DuckDB
+equivalent) — and get the driver's rows-only check; their exact-result
+counterparts (dedup_minhash_lsh, dedup_ngram_jaccard, ann_cosine_scores,
+ann_cosine_topk) ARE oracle-checked.
 """
 
 from __future__ import annotations
@@ -530,7 +532,37 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
     emb = _emb(spark, sf_dir)
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+    # decimals=5: rank on the round-5 score (proven hash-identical to the
+    # DuckDB oracle in ann_cosine_scores) with neighbor-id tie-break, so the
+    # exact top-k set is deterministic and oracle-checkable
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=10, decimals=5)
+
+
+_ANN_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id < 3),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot / (nq.nrm * nc.nrm), 5) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,7 +766,11 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash: xxhash64-based bit voting — not portable SQL (rows-only)
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
-        # ann_*_topk: approximate/rank outputs — rows-only by design
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        # ann_lsh_topk / ann_ivf_topk: approximate candidate pruning — the
+        # value is the pruning, not a SQL-definable set → rows-only.
+        # dedup_simhash: signature needs Spark's xxhash64 (no DuckDB
+        # equivalent) → rows-only.
         "embedding_stats": _EMB_STATS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_langid": _LANGID_SQL,

@@ -58,10 +58,13 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    decimals: int = 6,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. The query side is
     broadcast (small dim table); ranking is per-query with deterministic
-    tie-break on neighbor id."""
+    tie-break on neighbor id. Ranking happens on the ``decimals``-rounded
+    score so the result is stable across summation orders (and matches a
+    SQL oracle computing the same rounded value)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
@@ -70,7 +73,7 @@ def brute_force_topk(
         if use_arrow
         else cosine_expr(F.col("cvec"), F.col("qvec"))
     )
-    scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    scored = joined.select("query_id", "neighbor_id", F.round(cos, decimals).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2,9 +2,12 @@
 idempotent sinks, resumable from checkpoint.
 
 This is the deployable unit (spark-submit --py-files entry point, see
-scripts/run_streaming_job.py). Two structured-streaming queries run side by
-side — vertex summaries and edge summaries — each with its own checkpoint
-location and sink; both read the same input stream.
+scripts/run_streaming_job.py). By default two structured-streaming queries
+run side by side — vertex summaries and edge summaries — each with its own
+checkpoint location and sink, overlapping their stage latencies on idle
+cores; ``unified=True`` instead runs both pipelines as branches of one
+discriminated-union query (one trigger/checkpoint/drain cycle — less total
+work for saturated clusters), with identical output.
 """
 
 from __future__ import annotations
@@ -13,9 +16,9 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import StreamGraphConfig
-from ..model import split_triples
 from ..operators.grouping import GraphStreamGrouping
 from .binding import streaming_transcript_triples, streaming_vertex_observations
 from .pipeline import streaming_edge_summaries, streaming_vertex_summaries
@@ -58,10 +61,22 @@ def run_grouping_job(
     *,
     available_now: bool = True,
     max_turn_gap: str = "1 hour",
+    unified: bool = False,
 ) -> StreamingJobResult:
-    """Launch vertex+edge summary queries; with available_now=True blocks
-    until the current input is drained (the test/backfill mode — production
-    uses processingTime triggers and runs forever)."""
+    """Launch the grouping job; with available_now=True blocks until the
+    current input is drained (the test/backfill mode — production uses
+    processingTime triggers and runs forever).
+
+    ``unified=True`` runs the vertex and edge summary pipelines as two
+    branches of ONE streaming query (a discriminated union): one
+    trigger/commit/offset log, one checkpoint tree, one no-data drain
+    sequence — less total work, and row-for-row identical output to the
+    two-query mode (verified under full watermark drain). The default keeps
+    the two-query shape: the independent queries overlap their stage
+    latencies on idle cores (measured faster wall-clock on this profile at
+    every level tried); prefer unified on a saturated cluster where total
+    work, not latency hiding, sets throughput.
+    """
     cfg: StreamGraphConfig = op.config
     wm = cfg.watermark_delay
 
@@ -86,7 +101,7 @@ def run_grouping_job(
     v_sink = IdempotentParquetSink(os.path.join(out_root, "vertices"), transform=v_transform)
     e_sink = IdempotentParquetSink(os.path.join(out_root, "edges"))
 
-    def start(df: DataFrame, sink: IdempotentParquetSink, name: str):
+    def start(df: DataFrame, sink, name: str):
         w = (
             df.writeStream.foreachBatch(sink)
             .outputMode("append")
@@ -97,10 +112,49 @@ def run_grouping_job(
             w = w.trigger(availableNow=True)
         return w.start()
 
-    q1 = start(sv, v_sink, "vertex_summaries")
-    q2 = start(se, e_sink, "edge_summaries")
-    if available_now:
-        q1.awaitTermination()
-        q2.awaitTermination()
+    if unified:
+        u = _tagged_union(sv, se)
+
+        def split_sink(batch: DataFrame, batch_id: int) -> None:
+            # one persist serves both splits; each sink then caches only its
+            # own (tiny) summary slice for the lineage count + write
+            batch.persist()
+            try:
+                v_sink(batch.where(F.col("kind") == "v").select("v.*"), batch_id)
+                e_sink(batch.where(F.col("kind") == "e").select("e.*"), batch_id)
+            finally:
+                batch.unpersist()
+
+        q = start(u, split_sink, "summaries")
+        if available_now:
+            q.awaitTermination()
+    else:
+        q1 = start(sv, v_sink, "vertex_summaries")
+        q2 = start(se, e_sink, "edge_summaries")
+        if available_now:
+            q1.awaitTermination()
+            q2.awaitTermination()
     listener.detach(spark)
     return StreamingJobResult(vertex_sink=v_sink, edge_sink=e_sink, listener=listener)
+
+
+def _tagged_union(sv: DataFrame, se: DataFrame) -> DataFrame:
+    """Discriminated union of the two summary streams: (kind, v struct,
+    e struct) with the inactive side null — schemas stay independent while
+    both branches share one micro-batch/checkpoint lifecycle."""
+
+    def struct_ddl(df: DataFrame) -> str:
+        inner = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+        return f"struct<{inner}>"
+
+    return sv.select(
+        F.lit("v").alias("kind"),
+        F.struct(*sv.columns).alias("v"),
+        F.lit(None).cast(struct_ddl(se)).alias("e"),
+    ).unionByName(
+        se.select(
+            F.lit("e").alias("kind"),
+            F.lit(None).cast(struct_ddl(sv)).alias("v"),
+            F.struct(*se.columns).alias("e"),
+        )
+    )

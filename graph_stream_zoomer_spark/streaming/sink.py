@@ -84,14 +84,20 @@ class IdempotentParquetSink:
         if self.transform is not None:
             batch = self.transform(batch)
         flat = flatten_window(batch)
-        part_counts = (
-            flat.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
         target = os.path.join(self.data_dir, f"batch_id={batch_id}")
         tmp = target + ".tmp"
-        flat.write.mode("overwrite").parquet(tmp)
+        # Every action on a foreachBatch DataFrame re-executes the whole
+        # micro-batch plan (stateful join + agg included), so cache the
+        # (small, post-aggregation) summary rows: the lineage count runs the
+        # plan exactly once, the write reads the cache.
+        flat.persist()
+        try:
+            part_counts = (
+                flat.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            )
+            flat.write.mode("overwrite").parquet(tmp)
+        finally:
+            flat.unpersist()
         if os.path.exists(target):  # crashed after write, before commit log
             import shutil
 

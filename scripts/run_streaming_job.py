@@ -65,6 +65,12 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--max-turn-gap", default="1 hour")
     ap.add_argument("--available-now", action="store_true")
+    ap.add_argument(
+        "--unified",
+        action="store_true",
+        help="run vertex+edge summaries as one discriminated-union query "
+        "(one checkpoint/commit cycle; best when the cluster is saturated)",
+    )
     args = ap.parse_args()
 
     from graph_stream_zoomer_spark import StreamGraphConfig, WindowConfig
@@ -99,6 +105,7 @@ def main() -> None:
         args.output,
         available_now=args.available_now,
         max_turn_gap=args.max_turn_gap,
+        unified=args.unified,
     )
     if not args.available_now:
         spark.streams.awaitAnyTermination()

@@ -40,10 +40,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "1500000"))
-N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "120000"))
+N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "480000"))
 LEVELS = (2, 8)  # the N vs 4N evidence pair (pinned cores)
 APPENDIX_LEVEL = 32  # saturation row (above the VM's real concurrency)
 TRIALS = 2
+STREAM_PARTITIONS = 8  # streaming state partitions, fixed across levels
 
 
 def worker(cpus: int, input_dir: str) -> None:
@@ -88,24 +89,31 @@ def worker(cpus: int, input_dir: str) -> None:
     n_turns = t.count()
     _ = transcript_graph(t.limit(1000), cfg, use_arrow=False).apply(op).vertices.count()  # warm
     batch_times = []
-    for _i in range(TRIALS):
+    for _i in range(TRIALS + 1):  # extra trial: the first is JIT-cold
         t0 = time.time()
         out = transcript_graph(t, cfg, use_arrow=False).apply(op)
         _rows = out.vertices.count() + out.edges.count()
         batch_times.append(time.time() - t0)
-    batch_s = statistics.median(batch_times)
+    batch_s = statistics.median(batch_times[1:])
 
     # ---- streaming job (fresh checkpoint per trial) ----------------------
     stream_path = os.path.join(input_dir, "turns")
     n_stream_turns = spark.read.parquet(stream_path).count()
+    # State-partition count is the dominant fixed cost of the streaming job
+    # (each stateful operator pays an open/commit/delta-file cycle per
+    # partition per micro-batch). It is a deployment knob sized to the
+    # cluster (∝ executor count in production); the strong-scaling protocol
+    # fixes it across levels so both levels run the identical plan. 8 = the
+    # large level's core count (1 task wave at 8 cores, 4 waves at 2).
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     stream_times = []
-    for _i in range(max(2, TRIALS - 1)):
+    for _i in range(max(2, TRIALS - 1) + 1):  # extra trial: first is JIT-cold
         out_root = tempfile.mkdtemp(prefix=f"gsz_scale_{cpus}_")
         t0 = time.time()
         run_grouping_job(spark, read_transcript_stream(spark, stream_path), op, out_root)
         stream_times.append(time.time() - t0)
         shutil.rmtree(out_root, ignore_errors=True)
-    stream_s = statistics.median(stream_times)
+    stream_s = statistics.median(stream_times[1:])
 
     print(
         "WORKER_RESULT "

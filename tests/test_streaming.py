@@ -186,3 +186,16 @@ def test_late_rows_dropped(spark, tmp_path):
     assert all(v == 1 for v in got.values())
     labels = {k[0] for k in got}
     assert labels == {"user", "assistant"}
+
+
+def test_unified_query_matches_batch(spark, tmp_path, turns_dir):
+    """unified=True (single discriminated-union query) must emit exactly the
+    two-query/batch rows under full watermark drain."""
+    d, turns = turns_dir
+    stream = read_transcript_stream(spark, d)
+    result = run_grouping_job(
+        spark, stream, _op(), str(tmp_path / "out_u"), unified=True
+    )
+    exp_sv, exp_se = _batch_expected(spark, turns)
+    assert _collect_sink(spark, result.vertex_sink, "vertex_label") == exp_sv
+    assert _collect_sink(spark, result.edge_sink, "edge_label") == exp_se
