@@ -146,27 +146,35 @@ def streaming_edge_summaries(op: GraphStreamGrouping, triples: DataFrame) -> Dat
     ).withColumn("super_edge_id", super_element_id(op._edge_id_hash_fields(), op.config.id_hash))
 
 
-def summary_triples(super_vertices: DataFrame, super_edges: DataFrame, watermark: str) -> DataFrame:
+def summary_triples(
+    super_vertices: DataFrame, super_edges: DataFrame, watermark: str | None = None
+) -> DataFrame:
     """Stream-stream join of the vertex and edge summary streams on
-    (grouping key hash, window rowtime) — J3 as a watermarked equi join.
+    (super-vertex id, window) — J3 chained after the windowed aggregations.
 
-    Both inputs are append-mode summary streams; the join condition includes
-    event-time equality, so state is evicted at the watermark.
+    Chaining note (Spark 3.5+ multi-stateful rules): the aggregation outputs
+    carry ``window`` as their event-time column, and the join must use THAT
+    column for its time-equality — re-applying ``withWatermark`` on the
+    derived ``event_time`` instead re-anchors the rows against the already-
+    advanced global watermark, which classifies every summary row as late
+    and silently drops it (observed: zero join output). Join state is
+    evicted via the propagated operator watermark; ``watermark`` is accepted
+    for API compatibility but intentionally unused.
     """
-    sv = super_vertices.withWatermark("event_time", watermark)
-    se = super_edges.withWatermark("event_time", watermark)
+    del watermark
+    sv, se = super_vertices, super_edges
     src = sv.select(
         F.col("super_vertex_id").alias("_sid"),
-        F.col("event_time").alias("_stime"),
+        F.col("window").alias("_swin"),
         F.col("vertex_label").alias("source_label"),
     )
     tgt = sv.select(
         F.col("super_vertex_id").alias("_tid"),
-        F.col("event_time").alias("_ttime"),
+        F.col("window").alias("_twin"),
         F.col("vertex_label").alias("target_label"),
     )
     return (
-        se.join(src, (se.source_id == src._sid) & (se.event_time == src._stime))
-        .join(tgt, (F.col("target_id") == tgt._tid) & (F.col("event_time") == tgt._ttime))
-        .drop("_sid", "_stime", "_tid", "_ttime")
+        se.join(src, (se.source_id == src._sid) & (se.window == src._swin))
+        .join(tgt, (F.col("target_id") == tgt._tid) & (F.col("window") == tgt._twin))
+        .drop("_sid", "_swin", "_tid", "_twin")
     )

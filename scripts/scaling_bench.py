@@ -212,8 +212,9 @@ def orchestrate() -> None:
 Protocol (per driver instruction): same job, same input, two parallelism
 levels on one host; each level is a fresh JVM pinned with ``taskset`` to
 exactly that many host CPUs (GC threads included — unpinned runs let the
-"small" level borrow idle cores and understate scaling). Median of
-{TRIALS} JIT-warmed trials. Efficiency = (tps_{hi} / tps_{lo}) / {int(factor)}.
+"small" level borrow idle cores and understate scaling). {TRIALS + 1}
+trials per level; the first (JIT-cold) is dropped, median of the rest.
+Efficiency = (tps_{hi} / tps_{lo}) / {int(factor)}.
 
 **N = {lo} cores vs 4N = {hi} cores** (both inside this VM's measured
 real-concurrency range — see appendix).
@@ -228,7 +229,8 @@ real-concurrency range — see appendix).
 **Batch scaling efficiency ({lo}→{hi}): {eff_batch:.2f}**
 
 ## Streaming job (stream-stream successor join → watermarked dedup →
-windowed agg → idempotent exactly-once sink; {results[lo]['stream_turns']:,} turns)
+windowed agg → idempotent exactly-once sink; {results[lo]['stream_turns']:,} turns,
+{STREAM_PARTITIONS} state partitions fixed across levels)
 
 | pinned cores | wall s (median) | turns/sec |
 |---|---|---|
