@@ -361,6 +361,36 @@ JOIN sv tt ON tt.role = split_part(se.edge_label, '->', 2)
 """
 
 
+def q_cep_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP: consecutive click->purchase runs per user timeline (sequence
+    pattern over the events-as-transcripts binding; operators/cep.py)."""
+    from graph_stream_zoomer_spark.operators.cep import match_sequence
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    return match_sequence(t, ["click", "purchase"], within="30 days")
+
+
+_CEP_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, ts
+  FROM events
+),
+p AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lead(role) OVER w AS r1, lead(ts) OVER w AS t1,
+         lead(turn_idx) OVER w AS i1
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS start_turn_idx, ts AS start_ts, t1 AS end_ts
+FROM p
+WHERE role = 'click' AND r1 = 'purchase' AND i1 = turn_idx + 1
+  AND t1 <= ts + INTERVAL 30 DAY
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -729,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_session": q_graph_group_session,
         "graph_group_session_stateful": q_graph_group_session_stateful,
         "graph_triples_join": q_graph_triples_join,
+        "cep_sequence_match": q_cep_sequence_match,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -759,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_session": _SESSION_SQL,
         "graph_group_session_stateful": _SESSION_SQL,
         "graph_triples_join": _TRIPLES_JOIN_SQL,
+        "cep_sequence_match": _CEP_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -97,6 +97,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "graph_group_edge_transition",
         "graph_group_sliding",
         "graph_group_session",
+        "cep_sequence_match",
         "dedup_fingerprint",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

@@ -1,0 +1,204 @@
+"""Sequence-pattern matching (CEP) over transcript turn streams.
+
+The reference has no CEP operator; this is part of the engine's streaming
+surface (north rule: "structured-streaming / CEP engine"). A pattern is an
+ordered list of role predicates; a match is a run of consecutive turns
+(turn_idx, turn_idx+1, …) of one conversation whose roles equal the pattern,
+with the whole run inside a time bound.
+
+Batch form: `lead()` over (conv_id, turn_idx) — one shuffle, no UDF.
+Streaming form: keyed state per conv_id via ``applyInPandasWithState`` —
+the stream is not ordered, so turns are buffered per conversation and a
+match is emitted exactly once when its full run is present; state is
+trimmed by the event-time watermark (a turn can only begin a match until
+``watermark − within``).
+
+Scale: both forms shuffle once on conv_id. Conversations are short (the
+generator means ≈9 turns) so per-key state is O(turns in the open horizon);
+at 10^12 turns the shuffle is the same conv_id exchange the successor-edge
+binding needs, so the input table's bucket(conv_id) layout serves both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("start_turn_idx", IntegerType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idxs", ArrayType(IntegerType())),
+        StructField("roles", ArrayType(StringType())),
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("emitted", ArrayType(IntegerType())),
+    ]
+)
+
+
+def match_sequence(
+    turns: DataFrame, pattern: list[str], within: str = "1 hour"
+) -> DataFrame:
+    """Batch CEP: all (conv_id, start_turn_idx) whose next ``len(pattern)``
+    consecutive turns carry exactly the pattern roles, last turn within
+    ``within`` of the first. One shuffle (the conv_id window exchange)."""
+    n = len(pattern)
+    assert n >= 1
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cols = [F.col("role").alias("_r0"), F.col("ts").alias("_t0"), F.col("turn_idx")]
+    for i in range(1, n):
+        cols.append(F.lead("role", i).over(w).alias(f"_r{i}"))
+        cols.append(F.lead("ts", i).over(w).alias(f"_t{i}"))
+        cols.append(F.lead("turn_idx", i).over(w).alias(f"_i{i}"))
+    d = turns.select("conv_id", *cols)
+    cond: Column = F.col("_r0") == pattern[0]
+    for i in range(1, n):
+        cond = cond & (F.col(f"_r{i}") == pattern[i])
+        # consecutive turns only — lead() skips nothing, but be explicit so
+        # the predicate survives a change of ordering column
+        cond = cond & (F.col(f"_i{i}") == F.col("turn_idx") + i)
+    last_t = F.col(f"_t{n-1}") if n > 1 else F.col("_t0")
+    cond = cond & (last_t <= F.col("_t0") + F.expr(f"INTERVAL {within}"))
+    return d.where(cond).select(
+        "conv_id",
+        F.col("turn_idx").alias("start_turn_idx"),
+        F.col("_t0").alias("start_ts"),
+        last_t.alias("end_ts"),
+    )
+
+
+def streaming_match_sequence(
+    turns: DataFrame, pattern: list[str], within: str = "1 hour"
+) -> DataFrame:
+    """Streaming CEP over a watermarked transcript stream (same output as
+    the batch form, emitted exactly once per match).
+
+    Per-conversation keyed state holds the turns that may still begin or
+    extend a match (those newer than watermark − within) plus the set of
+    already-emitted start indices; each micro-batch merges new turns, emits
+    every complete unseen run, and expires turns past the watermark horizon.
+    Emission is keyed by the run's start turn — exactly-once, and safe for
+    overlapping runs that share turns.
+    """
+    n = len(pattern)
+    within_us = _interval_us(within)
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idxs, roles, ts_us, emitted_list = state.get
+            buf = {int(i): (r, int(t)) for i, r, t in zip(idxs, roles, ts_us)}
+            emitted = set(int(i) for i in emitted_list)
+        else:
+            buf, emitted = {}, set()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                tcol = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+                for i, r, t in zip(pdf["turn_idx"], pdf["role"], tcol):
+                    buf[int(i)] = (str(r), int(t))
+
+        out = {"conv_id": [], "start_turn_idx": [], "start_ts": [], "end_ts": []}
+        for i in sorted(buf):
+            if i in emitted:  # already emitted in an earlier batch
+                continue
+            run = [buf.get(i + j) for j in range(n)]
+            if any(x is None for x in run):
+                continue
+            if [x[0] for x in run] != pattern:
+                continue
+            if run[-1][1] > run[0][1] + within_us:
+                continue
+            out["conv_id"].append(key[0])
+            out["start_turn_idx"].append(i)
+            out["start_ts"].append(pd.Timestamp(run[0][1], unit="us"))
+            out["end_ts"].append(pd.Timestamp(run[-1][1], unit="us"))
+            emitted.add(i)
+
+        # retention: a turn stays while it could still join a run whose
+        # start is not yet expired (starts expire at watermark − within);
+        # emitted starts stay in the buffer (a turn can be the MIDDLE of an
+        # overlapping later-completing run) but are remembered in `emitted`
+        # so each match is produced exactly once.
+        horizon = wm_us - within_us
+        keep = {
+            i: v
+            for i, v in buf.items()
+            # v could still matter if some possible start j in [i-n+1, i]
+            # is alive (its ts unknown if absent — approximate with v's ts,
+            # conservative because |ts_j - ts_i| ≤ within for a viable run)
+            if v[1] + within_us >= horizon
+        }
+        if keep:
+            ks = sorted(keep)
+            state.update(
+                (
+                    [int(i) for i in ks],
+                    [keep[i][0] for i in ks],
+                    [int(keep[i][1]) for i in ks],
+                    sorted(int(i) for i in emitted if i in keep),
+                )
+            )
+            # wake on watermark progress so expired state is trimmed even if
+            # the conversation never speaks again
+            min_close_ms = min(v[1] + 2 * within_us for v in keep.values()) // 1000
+            state.setTimeoutTimestamp(max(min_close_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out["conv_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        turns.select("conv_id", "turn_idx", "role", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            matcher,
+            MATCH_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _interval_us(spec: str) -> int:
+    qty, unit = spec.split()
+    unit = unit.rstrip("s")
+    mult = {
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit]
+    return int(float(qty) * mult)

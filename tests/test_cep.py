@@ -1,0 +1,100 @@
+"""CEP sequence-pattern matching: batch lead-based form vs streaming
+keyed-state form (operators/cep.py) must agree; overlapping runs and
+multi-batch out-of-order arrival emit exactly once."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark.operators.cep import match_sequence, streaming_match_sequence
+from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts
+from graph_stream_zoomer_spark.streaming.job import read_transcript_stream
+
+PATTERN = ["user", "assistant"]
+
+
+def _sentinel(spark):
+    return spark.createDataFrame(
+        [("zz_flush", 0, "user", "flush", "", "2030-01-01 00:00:00"),
+         ("zz_flush", 1, "tool", "flush", "", "2030-01-01 00:00:05")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_stream(spark, path, cp, pattern, max_files=None):
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=max_files)
+    matched = streaming_match_sequence(
+        stream.withWatermark("ts", "10 seconds"), pattern, within="1 hour"
+    )
+    rows = []
+    q = (
+        matched.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [r for r in rows if r["conv_id"] != "zz_flush"]
+
+
+def _as_set(rows):
+    return {(r["conv_id"], r["start_turn_idx"], r["start_ts"], r["end_ts"]) for r in rows}
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    turns = generate_transcripts(spark, 50, late_fraction_pct=0, skew=False)
+    d = str(tmp_path / "turns")
+    turns.unionByName(_sentinel(spark)).repartition(4).write.parquet(d)
+
+    got = _as_set(_run_stream(spark, d, str(tmp_path / "cp"), PATTERN))
+    exp_rows = match_sequence(turns, PATTERN, within="1 hour").collect()
+    exp = _as_set(exp_rows)
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_overlapping_runs_and_out_of_order_multibatch(spark, tmp_path):
+    """Pattern [a, b, a]: turns a0 b1 a2 b3 a4 has overlapping matches at 0
+    and 2 sharing turn a2. Deliver the middle turn in a LATER micro-batch
+    than its neighbors — both matches must still emit, each exactly once."""
+    pattern = ["a", "b", "a"]
+    base = "2025-06-01 10:00:"
+    rows1 = [("c1", 0, "a", base + "00"), ("c1", 1, "b", base + "01"),
+             ("c1", 3, "b", base + "03"), ("c1", 4, "a", base + "04")]
+    rows2 = [("c1", 2, "a", base + "02")]  # arrives late (within watermark)
+    sent = [("zz", 0, "x", "2030-01-01 00:00:00")]
+
+    d = str(tmp_path / "t2")
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [(c, i, r, r + str(i), "", ts) for c, i, r, ts in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.2)  # distinct mtimes → deterministic file order
+
+    write_chunk(rows1)
+    write_chunk(rows2)
+    write_chunk(sent)
+
+    got = _run_stream(spark, d, str(tmp_path / "cp2"), pattern, max_files=1)
+    starts = sorted((r["conv_id"], r["start_turn_idx"]) for r in got)
+    assert starts == [("c1", 0), ("c1", 2)]
+
+
+def test_time_bound_excludes_slow_runs(spark):
+    rows = [("c1", 0, "user", "2025-06-01 10:00:00"),
+            ("c1", 1, "assistant", "2025-06-01 11:30:00"),  # 90 min later
+            ("c2", 0, "user", "2025-06-01 10:00:00"),
+            ("c2", 1, "assistant", "2025-06-01 10:20:00")]
+    turns = spark.createDataFrame(
+        [(c, i, r, "", "", ts) for c, i, r, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = match_sequence(turns, PATTERN, within="1 hour").collect()
+    assert [r["conv_id"] for r in got] == ["c2"]

@@ -1,0 +1,104 @@
+"""Source/sink operator coverage: CSV round-trip (reference S4/S8) and the
+rate-source triple generator (reference S2)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark import Count, StreamGraphConfig, WindowConfig
+from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
+from graph_stream_zoomer_spark.sources.csv import read_transcript_csv, write_graph_csv
+from graph_stream_zoomer_spark.sources.rate import rate_triples
+from graph_stream_zoomer_spark.sources.transcripts import (
+    generate_transcripts,
+    transcript_graph,
+)
+
+
+def test_csv_roundtrip_matches_parquet_path(spark, tmp_path):
+    """Transcripts written as CSV then read via read_transcript_csv produce
+    the same grouping result as the in-memory path; write_graph_csv emits
+    <path>_V / <path>_E with JSON-encoded property bags."""
+    turns = generate_transcripts(spark, 30, late_fraction_pct=0, skew=False)
+    csv_in = str(tmp_path / "turns_csv")
+    (
+        turns.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .write.option("header", "true")
+        .mode("overwrite")
+        .csv(csv_in)
+    )
+
+    back = read_transcript_csv(spark, csv_in)
+    assert back.schema.simpleString() == turns.schema.simpleString()
+    assert back.count() == turns.count()
+
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(60, "SECONDS"))
+    op = (
+        GroupingBuilder()
+        .add_vertex_grouping_key(":label")
+        .add_vertex_aggregate_function(Count())
+        .add_edge_grouping_key(":label")
+        .add_edge_aggregate_function(Count())
+        .set_window_config(cfg.window)
+        .set_config(cfg)
+        .build()
+    )
+    out_mem = transcript_graph(turns, cfg, use_arrow=False).apply(op)
+    out_csv = transcript_graph(back, cfg, use_arrow=False).apply(op)
+
+    def key(df):
+        return {
+            (r["vertex_label"], r["event_time"]): r["vertex_properties"]["count"]
+            for r in df.vertices.collect()
+        }
+
+    assert key(out_csv) == key(out_mem)
+
+    sink = str(tmp_path / "graph")
+    write_graph_csv(out_mem.vertices, out_mem.edges, sink)
+    v_back = spark.read.option("header", "true").csv(sink + "_V")
+    assert v_back.count() == out_mem.vertices.count()
+    props = json.loads(v_back.select("vertex_properties").first()[0])
+    assert "count" in props  # map bag survives as JSON
+
+
+def test_rate_triples_deterministic_schema(spark, tmp_path):
+    """Rate-source triples: correct triple schema, deterministic fields
+    (pure functions of `value` — identical across two runs), dictionary
+    sizes respected."""
+    rows = {}
+    for run in ("a", "b"):
+        df = rate_triples(
+            spark,
+            rows_per_second=50,
+            num_vertex_labels=3,
+            num_edge_labels=2,
+            num_vertex_ids=7,
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"rate_{run}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"cp_{run}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql(f"select * from rate_{run}").collect()
+        assert len(got) == 50
+        rows[run] = {
+            r["edge_id"]: (
+                r["edge_label"],
+                r["source"]["vertex_id"],
+                r["source"]["vertex_label"],
+                r["target"]["vertex_id"],
+            )
+            for r in got
+        }
+    assert rows["a"] == rows["b"]  # replay-stable, no runtime randomness
+    labels = {v[0] for v in rows["a"].values()}
+    assert labels <= {"E0", "E1"}
+    vids = {v[1] for v in rows["a"].values()} | {v[3] for v in rows["a"].values()}
+    assert all(int(x[1:]) < 7 for x in vids)
