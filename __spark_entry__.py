@@ -105,7 +105,7 @@ SELECT role AS vertex_label,
        {_win_end_s('ts')} AS window_end_s,
        COUNT(*) AS cnt,
        ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_text_len,
-       SUM(value_c) AS sum_value_c
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c
 FROM v GROUP BY 1, 2
 """
 
@@ -139,7 +139,7 @@ WITH {_SQL_T}, {_SQL_EDGES}
 SELECT role || '->' || n_role AS edge_label,
        {_win_end_s('n_ts')} AS window_end_s,
        COUNT(*) AS cnt,
-       SUM(n_value_c) AS sum_value_c
+       CAST(SUM(n_value_c) AS BIGINT) AS sum_value_c
 FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
 """
 
@@ -673,7 +673,7 @@ WITH scored AS (
          , 6) AS quality
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens,
        ROUND(AVG(quality), 4) AS avg_quality
 FROM scored GROUP BY source
