@@ -3,12 +3,11 @@
 Each queries() entry exercises one operator family from SURVEY.md §2 or the
 training-data pipeline additions, over the driver's parquet tables; the
 paired oracle_sql() reproduces the semantics in ANSI SQL for DuckDB.
-Keys without an oracle entry are genuinely non-SQL-expressible — LSH/IVF
-approximations whose value is the *candidate pruning*, not a SQL-definable
-result set, and simhash whose signature needs Spark's xxhash64 (no DuckDB
-equivalent) — and get the driver's rows-only check; their exact-result
-counterparts (dedup_minhash_lsh, dedup_ngram_jaccard, ann_cosine_scores,
-ann_cosine_topk) ARE oracle-checked.
+Every key is oracle-checked: the approximate operators (simhash, LSH,
+IVF) run in their ``reproducible`` mode here — md5-derived hashes /
+hyperplanes / centroid samples, identical formulas on both engines — so
+even the "approximate" candidate sets are exactly SQL-reconstructible.
+The xxhash64 fast paths of the same operators are pytest-covered.
 """
 
 from __future__ import annotations
@@ -21,6 +20,8 @@ from pyspark.sql import functions as F
 from graph_stream_zoomer_spark import (
     AvgProperty,
     Count,
+    MaxProperty,
+    MinProperty,
     StreamGraphConfig,
     SumProperty,
     WindowConfig,
@@ -106,6 +107,43 @@ SELECT role AS vertex_label,
        COUNT(*) AS cnt,
        ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_text_len,
        CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+FROM v GROUP BY 1, 2
+"""
+
+
+def q_graph_group_role_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 MinProperty/MaxProperty (TableMinProperty.java:35-77,
+    TableMaxProperty.java:38-76) under the same label grouping as
+    role_count — min/max over two numeric properties per (role, window)."""
+    sv = _grouped_vertices(
+        spark, sf_dir, _cfg(),
+        [":label"],
+        [
+            MinProperty("text_len"),
+            MaxProperty("text_len"),
+            MinProperty("value_c"),
+            MaxProperty("value_c"),
+        ],
+    )
+    p = F.col("vertex_properties")
+    return sv.select(
+        F.col("vertex_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(p, "min_text_len").cast("double").cast("bigint").alias("min_text_len"),
+        F.element_at(p, "max_text_len").cast("double").cast("bigint").alias("max_text_len"),
+        F.element_at(p, "min_value_c").cast("double").cast("bigint").alias("min_value_c"),
+        F.element_at(p, "max_value_c").cast("double").cast("bigint").alias("max_value_c"),
+    )
+
+
+_ROLE_MINMAX_SQL = f"""
+WITH {_SQL_T}
+SELECT role AS vertex_label,
+       {_win_end_s('ts')} AS window_end_s,
+       CAST(MIN(length(text)) AS BIGINT) AS min_text_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_text_len,
+       CAST(MIN(value_c) AS BIGINT) AS min_value_c,
+       CAST(MAX(value_c) AS BIGINT) AS max_value_c
 FROM v GROUP BY 1, 2
 """
 
@@ -441,7 +479,9 @@ sh AS (
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    # max_shingle_df=None: exact uncapped mode, matching the SQL oracle
+    # (the operator's default caps shingle document-frequency for scale)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05, max_shingle_df=None)
 
 
 _NGRAM_JACCARD_SQL = f"""
@@ -487,7 +527,35 @@ FROM bands a JOIN bands b
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import simhash_duplicates
 
-    return simhash_duplicates(_docs(spark, sf_dir), prefix_bits=8)
+    # reproducible=True: 32-bit md5-derived signature, portable to the
+    # DuckDB oracle below; the 64-bit xxhash64 fast path is pytest-covered.
+    return simhash_duplicates(_docs(spark, sf_dir), prefix_bits=8, reproducible=True)
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  FROM toks WHERE length(tok) > 0
+),
+votes AS (
+  SELECT doc, b.i AS i, SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b(i)
+  GROUP BY doc, b.i
+),
+sim AS (
+  SELECT doc, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc
+),
+blk AS (SELECT doc, simhash, simhash >> 24 AS block FROM sim)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b ON a.block = b.block AND a.doc < b.doc
+"""
 
 
 def q_ann_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,8 +602,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import embedding_near_duplicates
 
     # single round(5): re-rounding a round(6) value shifts boundary digits
-    # vs DuckDB's direct round(5)
-    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, decimals=5)
+    # vs DuckDB's direct round(5). num_buckets=1 = exact all-pairs oracle
+    # baseline (the operator's default is the LSH-bucketed scale path).
+    return embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=0.4, decimals=5, num_buckets=1
+    )
 
 
 _DEDUP_EMB_SQL = """
@@ -599,14 +670,120 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=10, bits=4)
+    # bucketing is deterministic (md5-derived hyperplanes in reproducible
+    # mode), so the candidate set — and hence the top-k — is exactly
+    # reconstructible by the SQL oracle below
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=10, bits=4, reproducible=True, decimals=5
+    )
+
+
+# hyperplane j's i-th component: (('0x'||substr(md5(j:i),1,8))::BIGINT % 2001 - 1000)/1000
+# — identical to the Spark reproducible path (similarity.py hyperplane_bucket)
+_ANN_LSH_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+planes AS (
+  SELECT e.vec_id, j.j,
+         SUM(e.x * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(e.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS pdot
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j(j)
+  GROUP BY e.vec_id, j.j
+),
+buckets AS (
+  SELECT vec_id, SUM(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bkt
+  FROM planes GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(SUM(eq.x * en.x) / (nq.nrm * nn.nrm), 5) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e en ON en.vec_id = cand.neighbor_id AND en.i = eq.i
+  JOIN norms nq ON nq.vec_id = cand.query_id
+  JOIN norms nn ON nn.vec_id = cand.neighbor_id
+  GROUP BY 1, 2, nq.nrm, nn.nrm
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+    # reproducible=True: centroid sample ordered by md5(id), assignment
+    # similarity rounded to 5 decimals with centroid-id tie-break — the SQL
+    # oracle derives the identical cells, candidates and top-k
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=10, reproducible=True, decimals=5
+    )
+
+
+_ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+cent AS (
+  SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+sims AS (
+  SELECT v.vec_id, cent.centroid_id,
+         ROUND(SUM(v.x * (ce.x / nc.nrm)) / nv.nrm, 5) AS sim
+  FROM e v
+  CROSS JOIN cent
+  JOIN e ce ON ce.vec_id = cent.centroid_id AND ce.i = v.i
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = cent.centroid_id
+  GROUP BY v.vec_id, cent.centroid_id, nv.nrm, nc.nrm
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rn
+        FROM sims)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rn
+        FROM sims WHERE vec_id < 3)
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(SUM(eq.x * en.x) / (nq.nrm * nn.nrm), 5) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e en ON en.vec_id = cand.neighbor_id AND en.i = eq.i
+  JOIN norms nq ON nq.vec_id = cand.query_id
+  JOIN norms nn ON nn.vec_id = cand.neighbor_id
+  GROUP BY 1, 2, nq.nrm, nn.nrm
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_count": _role_count_query({}),
         "graph_group_role_count_salted": _role_count_query({"salt_buckets": 8}),
         "graph_group_role_count_arrow": _role_count_query({"use_arrow_extraction": True}),
+        "graph_group_role_minmax": q_graph_group_role_minmax,
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_full": q_graph_group_full,
         "graph_group_property_textlen": q_graph_group_property_textlen,
@@ -783,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_count": _ROLE_COUNT_SQL,
         "graph_group_role_count_salted": _ROLE_COUNT_SQL,
         "graph_group_role_count_arrow": _ROLE_COUNT_SQL,
+        "graph_group_role_minmax": _ROLE_MINMAX_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_full": _FULL_SQL,
         "graph_group_property_textlen": _PROPERTY_SQL,
@@ -795,14 +974,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
-        # dedup_simhash: xxhash64-based bit voting — not portable SQL (rows-only)
+        "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
-        # ann_lsh_topk / ann_ivf_topk: approximate candidate pruning — the
-        # value is the pruning, not a SQL-definable set → rows-only.
-        # dedup_simhash: signature needs Spark's xxhash64 (no DuckDB
-        # equivalent) → rows-only.
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_langid": _LANGID_SQL,

@@ -101,15 +101,42 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_fingerprint",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
-        "dedup_simhash",
         "ann_cosine_topk",
-        "ann_lsh_topk",
         "embedding_stats",
         "text_stats",
         "media_digests",
     ]:
         fn = qs[name]
         run(name, lambda f=fn: f(spark, sf_dir).count())
+
+    # --- scale-path variants (xxhash64 fast paths + capped/bucketed
+    # defaults). The driver queries() for these operators run the md5-based
+    # `reproducible` oracle modes; the bench pins the deployment defaults so
+    # round-over-round numbers keep measuring the same thing as r01.
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.dedup import (
+        embedding_near_duplicates,
+        ngram_jaccard_pairs,
+        simhash_duplicates,
+    )
+    from graph_stream_zoomer_spark.operators.similarity import lsh_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    run("dedup_simhash", lambda: simhash_duplicates(docs, prefix_bits=8).count())
+    run(
+        "ann_lsh_topk",
+        lambda: lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=10, bits=4).count(),
+    )
+    run(
+        "dedup_ngram_jaccard_capped",
+        lambda: ngram_jaccard_pairs(docs, threshold=0.05).count(),  # default df cap
+    )
+    run(
+        "dedup_embedding_cosine_bucketed",
+        lambda: embedding_near_duplicates(emb, threshold=0.4).count(),  # default buckets
+    )
 
     return timings, extras
 

@@ -68,6 +68,7 @@ def match_sequence(
     ``within`` of the first. One shuffle (the conv_id window exchange)."""
     n = len(pattern)
     assert n >= 1
+    _interval_us(within)  # validate up front: batch and streaming accept the same grammar
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     cols = [F.col("role").alias("_r0"), F.col("ts").alias("_t0"), F.col("turn_idx")]
     for i in range(1, n):
@@ -190,15 +191,38 @@ def streaming_match_sequence(
     )
 
 
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
 def _interval_us(spec: str) -> int:
-    qty, unit = spec.split()
-    unit = unit.rstrip("s")
-    mult = {
-        "microsecond": 1,
-        "millisecond": 1_000,
-        "second": 1_000_000,
-        "minute": 60_000_000,
-        "hour": 3_600_000_000,
-        "day": 86_400_000_000,
-    }[unit]
-    return int(float(qty) * mult)
+    """Parse a multi-part interval spec ('1 hour', '1.5 hours 30 minutes',
+    '2 weeks') to microseconds. Shared by batch and streaming CEP so the
+    same ``within`` string is accepted — or rejected, with a clear message —
+    by both entry points (plan-build time, never inside an executor)."""
+    toks = spec.strip().split()
+    if not toks or len(toks) % 2 != 0:
+        raise ValueError(
+            f"invalid interval {spec!r}: expected '<qty> <unit> [<qty> <unit> ...]'"
+        )
+    total = 0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in _UNIT_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {spec!r}; "
+                f"supported: {', '.join(sorted(_UNIT_US))}(s)"
+            )
+        try:
+            q = float(qty)
+        except ValueError:
+            raise ValueError(f"invalid interval quantity {qty!r} in {spec!r}") from None
+        total += int(q * _UNIT_US[u])
+    return total

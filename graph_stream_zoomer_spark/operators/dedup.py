@@ -26,9 +26,14 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelism: doc corpora often arrive as a handful of files, and the
     explode-heavy operators below would otherwise run the entire
     shingle/token fan-out on one core. The shuffle moves only the compact
-    pre-explode rows."""
+    pre-explode rows — and is skipped entirely when the input already has
+    enough partitions (a 100 TB corpus arrives with thousands; repartition
+    there would be a wasted full-corpus shuffle)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -80,21 +85,27 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All (a < b) pairs with n-gram-shingle Jaccard ≥ threshold, via an
     inverted-index self-join (never materializes the n² pair space).
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     (frequent-shingle stopwording) — at corpus scale this bounds the join
-    fan-out; None keeps all (exact result, used by the oracle tests).
+    fan-out to O(max_df²) per hot shingle instead of O(corpus²), so it
+    DEFAULTS ON. Pass None for the exact uncapped result (the oracle
+    baseline; only safe on modest corpora).
     """
     sh = _spread(docs).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        # broadcast the HOT set (tiny: shingles above the cap), not the keep
+        # set (≈ the whole vocabulary at corpus scale)
+        hot = (
+            sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df).select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -222,39 +233,63 @@ def simhash64(col: Column | str) -> Column:
     return out
 
 
-def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc, simhash) via exploded tokens + 64 codegen'd vote aggregates —
-    the scale form of simhash64 (one shuffle, map-side combined; no
-    interpreted array lambdas)."""
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reproducible: bool = False,
+) -> DataFrame:
+    """(doc, simhash) via exploded tokens + per-bit codegen'd vote
+    aggregates — the scale form of simhash64 (one shuffle, map-side
+    combined; no interpreted array lambdas).
+
+    ``reproducible=True`` switches to a 32-bit signature whose per-token
+    hash is the first 8 hex chars of md5 (portable to any SQL engine for
+    the oracle harness, mirroring the minhash_signature pattern); the
+    default 64-bit fast path hashes with xxhash64 (JVM-only).
+    """
+    bits = 32 if reproducible else 64
     toks = _spread(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.filter(F.split(normalized_text(text_col), " "), lambda t: F.length(t) > 0)
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if reproducible:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    toks = toks.withColumn("h", h)
     votes = toks.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
         sim = sim.bitwiseOR(F.when(F.col(f"_b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long")))
     return votes.select("doc", sim.alias("simhash"))
 
 
 def simhash_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+    reproducible: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing the top ``prefix_bits`` of
     their simhash (banded-prefix blocking; at scale, repeat over rotated
-    hashes for full Hamming coverage)."""
-    s = simhash_table(docs, id_col, text_col)
-    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
+    hashes for full Hamming coverage). ``reproducible`` selects the 32-bit
+    md5-based signature (SQL-oracle portable) over the 64-bit xxhash64 one.
+    """
+    bits = 32 if reproducible else 64
+    s = simhash_table(docs, id_col, text_col, reproducible=reproducible)
+    block = F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits).alias("block")
     s = s.select("doc", "simhash", block)
     a, b = s.alias("a"), s.alias("b")
     return (
@@ -262,7 +297,9 @@ def simhash_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
     )
 
@@ -273,12 +310,14 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_buckets: int = 1,
+    num_buckets: int = 256,
     decimals: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. ``num_buckets=1`` is the exact
-    all-pairs baseline (only for modest candidate sets); >1 blocks by a
-    random-hyperplane LSH sketch first (see similarity.py)."""
+    """Embedding-cosine near-dup pairs. The DEFAULT blocks by a
+    random-hyperplane LSH sketch first (see similarity.py) so the self-join
+    stays within buckets — the form that survives a 100 TB corpus.
+    ``num_buckets=1`` is the exact all-pairs baseline: opt-in, only for
+    modest candidate sets (it is what the SQL oracle reproduces)."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     v = emb.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))

@@ -82,21 +82,30 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col: Column | str, bits: int = 8, dim: int | None = None) -> Column:
+def hyperplane_bucket(
+    vec_col: Column | str, bits: int = 8, dim: int | None = None, reproducible: bool = False
+) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of ``bits``
     deterministic pseudo-random hyperplanes. Hyperplane j's i-th component
-    is derived as (xxhash64(j, i) % 2001 - 1000)/1000 — reproducible on any
-    worker with no broadcast state."""
+    is derived as (hash(j, i) % 2001 - 1000)/1000 — reproducible on any
+    worker with no broadcast state. ``reproducible=True`` derives the hash
+    from md5 hex (portable to the SQL oracle harness); the default uses
+    xxhash64 (faster, JVM-only)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
     def plane_dot(j: int) -> Column:
-        comp = F.zip_with(
-            v,
-            idx,
-            lambda x, i: x.cast("double")
-            * ((F.pmod(F.xxhash64(F.lit(j), i), F.lit(2001)) - 1000).cast("double") / 1000.0),
-        )
+        if reproducible:
+            def coef(i: Column) -> Column:
+                h = F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 8), 16, 10
+                ).cast("long")
+                return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+        else:
+            def coef(i: Column) -> Column:
+                return (F.pmod(F.xxhash64(F.lit(j), i), F.lit(2001)) - 1000).cast("double") / 1000.0
+
+        comp = F.zip_with(v, idx, lambda x, i: x.cast("double") * coef(i))
         return F.aggregate(comp, F.lit(0.0), lambda acc, y: acc + y)
 
     bucket = F.lit(0).cast("long")
@@ -114,25 +123,30 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reproducible: bool = False,
+    decimals: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. At 100 TB the corpus is written bucketed by this key
-    (bucketBy/partitionBy _bkt), so a query touches one bucket's files."""
+    (bucketBy/partitionBy _bkt), so a query touches one bucket's files.
+    The bucketing is deterministic (hash-derived hyperplanes), so with
+    ``reproducible=True`` the exact result set is SQL-reconstructible and
+    oracle-checkable."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_bucket(vec_col, bits).alias("_bkt"),
+        hyperplane_bucket(vec_col, bits, reproducible=reproducible).alias("_bkt"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(vec_col, bits).alias("_bkt"),
+        hyperplane_bucket(vec_col, bits, reproducible=reproducible).alias("_bkt"),
     )
     joined = c.join(F.broadcast(q), "_bkt").where(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6).alias("cosine"),
+        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), decimals).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -150,19 +164,31 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reproducible: bool = False,
+    decimals: int = 6,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids = a deterministic pseudo-random
-    corpus sample (``n_centroids`` smallest ``xxhash64(id)`` — a distributed
+    corpus sample (``n_centroids`` smallest ``hash(id)`` — a distributed
     TakeOrderedAndProject, no global window, no separate count job); cell
     assignment is a zero-shuffle argmax over the centroid array embedded as
     a literal (the KMeans-style tiny-model broadcast); a query probes its
-    ``n_probe`` nearest centroid cells only."""
+    ``n_probe`` nearest centroid cells only.
+
+    ``reproducible=True`` samples centroids by md5(id) instead of xxhash64
+    and rounds the assignment similarity to 5 decimals (with centroid-id
+    tie-break) so a SQL oracle derives the identical cell assignment and
+    therefore the identical candidate set + top-k."""
+    order_key = (
+        F.md5(F.col("centroid_id").cast("string"))
+        if reproducible
+        else F.xxhash64(F.col("centroid_id"))
+    )
     cent_rows = (
         corpus.select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
-        .orderBy(F.xxhash64(F.col("centroid_id")))
+        .orderBy(order_key)
         .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k, tiny driver merge
         .collect()
     )
@@ -178,12 +204,13 @@ def ivf_topk(
     def nearest_cells(vec: Column, n_cells: int) -> Column:
         """array of the n_cells centroid ids nearest to ``vec`` by cosine —
         pure Catalyst expression, evaluated inline on each row (no join)."""
+        def sim_of(cl: Column) -> Column:
+            s = dot_expr(vec, cl) / norm_expr(vec)
+            return F.round(s, 5) if reproducible else s
+
         sims = F.array(
             *[
-                F.struct(
-                    (dot_expr(vec, cl) / norm_expr(vec)).alias("sim"),
-                    F.lit(cid).alias("centroid_id"),
-                )
+                F.struct(sim_of(cl).alias("sim"), F.lit(cid).alias("centroid_id"))
                 for cid, cl in cent_lits
             ]
         )
@@ -208,7 +235,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6).alias("cosine"),
+        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), decimals).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -118,7 +118,7 @@ def generate_transcripts(
 # transcript → property-graph binding
 # ---------------------------------------------------------------------------
 
-def _turn_props(prefix: str = "", use_arrow: bool = True) -> list[Column]:
+def _turn_props(prefix: str = "", use_arrow: bool = False) -> list[Column]:
     """Per-turn derived properties: tool, text_len (Arrow pandas UDF per the
     A+B axis), time-bucket (hour)."""
     text_c = F.col(f"{prefix}text")
@@ -130,7 +130,7 @@ def _turn_props(prefix: str = "", use_arrow: bool = True) -> list[Column]:
     ]
 
 
-def transcript_vertices(t: DataFrame, use_arrow: bool = True) -> DataFrame:
+def transcript_vertices(t: DataFrame, use_arrow: bool = False) -> DataFrame:
     """vertex_id = conv_id:turn_idx, label = role (SURVEY.md §1.4)."""
     props = _turn_props(use_arrow=use_arrow)
     return t.select(
@@ -144,7 +144,7 @@ def transcript_vertices(t: DataFrame, use_arrow: bool = True) -> DataFrame:
     )
 
 
-def transcript_triples(t: DataFrame, use_arrow: bool = True) -> DataFrame:
+def transcript_triples(t: DataFrame, use_arrow: bool = False) -> DataFrame:
     """Successor triples via a single pass: lead() over (conv_id, turn_idx).
 
     One analytic-window shuffle partitioned by conv_id; both endpoint turns
@@ -199,7 +199,7 @@ def transcript_triples(t: DataFrame, use_arrow: bool = True) -> DataFrame:
     )
 
 
-def transcript_graph_vertices(t: DataFrame, use_arrow: bool = True) -> DataFrame:
+def transcript_graph_vertices(t: DataFrame, use_arrow: bool = False) -> DataFrame:
     """Vertex stream derived in ONE pass over the turns table: the set of
     triple endpoints = every turn of a conversation with ≥2 turns, each
     exactly once. Splitting the triple stream instead (Extractor-style,
@@ -216,7 +216,7 @@ def transcript_graph_vertices(t: DataFrame, use_arrow: bool = True) -> DataFrame
 
 
 def transcript_graph(
-    t: DataFrame, config: StreamGraphConfig | None = None, use_arrow: bool = True
+    t: DataFrame, config: StreamGraphConfig | None = None, use_arrow: bool = False
 ) -> StreamGraph:
     """Transcript turns → StreamGraph with the single-pass vertex stream,
     the triple stream for the joinless edge path, and the uniqueness hint

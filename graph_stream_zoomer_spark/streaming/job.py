@@ -112,7 +112,10 @@ def run_grouping_job(
             w = w.trigger(availableNow=True)
         return w.start()
 
+    ckpt = lambda name: os.path.join(out_root, f"_checkpoints/{name}")  # noqa: E731
     if unified:
+        _refuse_stale_sink(v_sink.root, ckpt("summaries"))
+        _refuse_stale_sink(e_sink.root, ckpt("summaries"))
         u = _tagged_union(sv, se)
 
         def split_sink(batch: DataFrame, batch_id: int) -> None:
@@ -129,6 +132,8 @@ def run_grouping_job(
         if available_now:
             q.awaitTermination()
     else:
+        _refuse_stale_sink(v_sink.root, ckpt("vertex_summaries"))
+        _refuse_stale_sink(e_sink.root, ckpt("edge_summaries"))
         q1 = start(sv, v_sink, "vertex_summaries")
         q2 = start(se, e_sink, "edge_summaries")
         if available_now:
@@ -136,6 +141,21 @@ def run_grouping_job(
             q2.awaitTermination()
     listener.detach(spark)
     return StreamingJobResult(vertex_sink=v_sink, edge_sink=e_sink, listener=listener)
+
+
+def _refuse_stale_sink(sink_root: str, checkpoint_dir: str) -> None:
+    """Refuse to start when the sink already has a commit log but the query
+    checkpoint tree is empty: that happens when the job mode (unified vs
+    two-query) changed on an existing out_root — batch ids restart at 0
+    under the fresh checkpoint and the idempotent guard would silently skip
+    real new batches (data loss, no error)."""
+    commits = os.path.join(sink_root, "_lineage", "commits.json")
+    if os.path.exists(commits) and not os.path.exists(checkpoint_dir):
+        raise ValueError(
+            f"sink {sink_root} has a commit log but checkpoint {checkpoint_dir} is missing; "
+            "the job mode (unified vs two-query) likely changed on an existing out_root. "
+            "Use a fresh out_root (or resume with the original mode)."
+        )
 
 
 def _tagged_union(sv: DataFrame, se: DataFrame) -> DataFrame:

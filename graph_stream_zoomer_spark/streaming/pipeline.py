@@ -158,10 +158,19 @@ def summary_triples(
     derived ``event_time`` instead re-anchors the rows against the already-
     advanced global watermark, which classifies every summary row as late
     and silently drops it (observed: zero join output). Join state is
-    evicted via the propagated operator watermark; ``watermark`` is accepted
-    for API compatibility but intentionally unused.
+    evicted via the propagated operator watermark; ``watermark`` is
+    deprecated and has NO effect.
     """
-    del watermark
+    if watermark is not None:
+        import warnings
+
+        warnings.warn(
+            "summary_triples(watermark=...) is deprecated and ignored: join-state "
+            "eviction follows the watermarks propagated from the upstream windowed "
+            "aggregations (re-watermarking here would drop every row)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     sv, se = super_vertices, super_edges
     src = sv.select(
         F.col("super_vertex_id").alias("_sid"),

@@ -133,24 +133,36 @@ class IcebergMergeSink:
     """
 
     def __init__(self, table: str, key_cols: list[str]) -> None:
+        if not key_cols:
+            raise ValueError("IcebergMergeSink needs at least one key column")
         self.table = table
         self.key_cols = key_cols
+
+    def merge_sql(self, columns: list[str], source_view: str = "_gsz_batch") -> str:
+        """The MERGE statement issued per micro-batch — exposed so the
+        contract (idempotent upsert keyed on key_cols, full-row update on
+        match, insert otherwise) is unit-testable without Iceberg jars."""
+        missing = [c for c in self.key_cols if c not in columns]
+        if missing:
+            raise ValueError(f"batch is missing key columns {missing} (has {columns})")
+        non_keys = [c for c in columns if c not in self.key_cols]
+        if not non_keys:
+            raise ValueError("MERGE needs at least one non-key column to update")
+        on = " AND ".join(f"t.{c} = s.{c}" for c in self.key_cols)
+        set_cols = ", ".join(f"{c} = s.{c}" for c in non_keys)
+        return (
+            f"MERGE INTO {self.table} t\n"
+            f"USING {source_view} s\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED THEN UPDATE SET {set_cols}\n"
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         flat = flatten_window(batch)
         flat.createOrReplaceTempView("_gsz_batch")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in self.key_cols)
-        set_cols = ", ".join(f"{c} = s.{c}" for c in flat.columns if c not in self.key_cols)
-        spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING _gsz_batch s
-            ON {on}
-            WHEN MATCHED THEN UPDATE SET {set_cols}
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        spark.sql(self.merge_sql(flat.columns))
 
 
 def flatten_window(df: DataFrame) -> DataFrame:

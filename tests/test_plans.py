@@ -93,6 +93,35 @@ def test_ann_broadcasts_query_side(spark):
     assert st.num_sortmerge_joins == 0
 
 
+def test_ngram_jaccard_default_caps_shingle_df(spark):
+    """The DEFAULT jaccard call must cap shingle document-frequency (hot
+    shingles would otherwise make the inverted-index self-join quadratic):
+    the plan carries a `count > cap` filter feeding a broadcast anti-join,
+    and the exact uncapped form is opt-in via max_shingle_df=None."""
+    from graph_stream_zoomer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    txt = plan_stats(ngram_jaccard_pairs(docs, threshold=0.5)).text
+    assert "LeftAnti" in txt, txt[:2000]
+    assert "> 1000" in txt, txt[:2000]
+    txt_exact = plan_stats(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    ).text
+    assert "LeftAnti" not in txt_exact
+
+
+def test_embedding_near_dup_default_is_bucketed(spark):
+    """The DEFAULT embedding near-dup must join within LSH buckets, never
+    all-pairs (no cross join in the plan); all-pairs is the explicit
+    num_buckets=1 oracle baseline."""
+    from graph_stream_zoomer_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    txt = plan_stats(embedding_near_duplicates(emb, threshold=0.9)).text
+    assert "_bkt" in txt, txt[:2000]
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt, txt[:2000]
+
+
 def test_salted_agg_two_phase_shape(spark):
     """Salted path: two aggregation levels with map-side partial combine —
     partial_* HashAggregates must appear more than the exchange count."""

@@ -102,3 +102,40 @@ def test_rate_triples_deterministic_schema(spark, tmp_path):
     assert labels <= {"E0", "E1"}
     vids = {v[1] for v in rows["a"].values()} | {v[3] for v in rows["a"].values()}
     assert all(int(x[1:]) < 7 for x in vids)
+
+
+def test_kafka_value_parsing_projection(spark):
+    """The Kafka adapter's value-parsing projection (sources/kafka.py) over
+    static rows shaped like Kafka records — no connector jar needed."""
+    import json
+
+    from graph_stream_zoomer_spark.sources.kafka import (
+        KAFKA_RECORD_DDL,
+        parse_transcript_records,
+    )
+
+    good = {
+        "conv_id": "c1",
+        "turn_idx": 0,
+        "role": "user",
+        "text": "hi",
+        "tool": "",
+        "ts": "2025-01-01 00:00:00",
+    }
+    rows = [
+        (None, json.dumps(good).encode(), "t", 0, 0, None, 0),
+        (None, json.dumps({**good, "turn_idx": 1, "role": "assistant"}).encode(), "t", 0, 1, None, 0),
+        (None, b"{not json", "t", 1, 0, None, 0),          # malformed
+        (None, json.dumps({"role": "user"}).encode(), "t", 1, 1, None, 0),  # missing keys
+    ]
+    records = spark.createDataFrame(rows, KAFKA_RECORD_DDL)
+
+    turns = parse_transcript_records(records)
+    got = {(r.conv_id, r.turn_idx, r.role) for r in turns.collect()}
+    assert got == {("c1", 0, "user"), ("c1", 1, "assistant")}
+    assert turns.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    # corrupt records are quarantined with lineage metadata, not dropped
+    kept = parse_transcript_records(records, keep_metadata=True, drop_corrupt=False)
+    bad = [r for r in kept.collect() if r._corrupt]
+    assert {(r.partition, r.offset) for r in bad} == {(1, 0), (1, 1)}

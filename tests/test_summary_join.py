@@ -66,7 +66,7 @@ def test_streaming_summary_triples_match_batch(spark, tmp_path):
     vertices = streaming_vertex_observations(stream, watermark=WM)
     sv = streaming_vertex_summaries(op, vertices, observations_unique=True)
     se = streaming_edge_summaries(op, triples)
-    joined = summary_triples(sv, se, WM)
+    joined = summary_triples(sv, se)
 
     out_dir = str(tmp_path / "triples_out")
     q = (
