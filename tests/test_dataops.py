@@ -212,3 +212,59 @@ def test_multimodal_frame_sampling(docs):
     f0 = [bytes(f["payload"]) for f in sorted(per_media[0], key=lambda f: f["frame_idx"])]
     f1 = [bytes(f["payload"]) for f in sorted(per_media[1], key=lambda f: f["frame_idx"])]
     assert f0 == f1
+
+
+def test_simhash_reproducible_mode(docs):
+    """The 32-bit md5-based `reproducible` simhash (the oracle-checked mode)
+    behaves like the 64-bit fast path on planted dups and is deterministic."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_duplicates(docs, prefix_bits=4, reproducible=True).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    if (0, 3) in pairs:
+        assert pairs[(0, 3)] <= 10  # near dup → small hamming (of 32 bits)
+    again = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_duplicates(docs, prefix_bits=4, reproducible=True).collect()
+    }
+    assert pairs == again
+    # signatures fit 32 bits (the SQL-portable range)
+    from graph_stream_zoomer_spark.operators.dedup import simhash_table
+
+    sigs = simhash_table(docs, reproducible=True).collect()
+    assert all(0 <= r["simhash"] < 2**32 for r in sigs)
+
+
+def test_lsh_topk_reproducible_scores_match_exact(vectors):
+    """Reproducible-LSH results are a candidate-pruned subset of the exact
+    ranking: every returned (query, neighbor) carries the same cosine the
+    brute-force scorer computes for that pair."""
+    q = vectors.where("vec_id < 2")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(vectors, q, k=10, decimals=5).collect()
+    }
+    approx = lsh_topk(vectors, q, k=3, bits=2, reproducible=True, decimals=5).collect()
+    assert approx, "reproducible LSH returned nothing"
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    # same-bucket guarantee: a query is always a candidate of itself's bucket,
+    # so its nearest twin (0↔1, angle 0.01 apart) must surface
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert (0, 1) in got_pairs and (1, 0) in got_pairs
+
+
+def test_ivf_topk_reproducible_deterministic(vectors):
+    q = vectors.where("vec_id < 2")
+    a = sorted(map(tuple, ivf_topk(vectors, q, k=3, n_centroids=3, n_probe=2,
+                                   reproducible=True, decimals=5).collect()))
+    b = sorted(map(tuple, ivf_topk(vectors, q, k=3, n_centroids=3, n_probe=2,
+                                   reproducible=True, decimals=5).collect()))
+    assert a == b and a
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(vectors, q, k=10, decimals=5).collect()
+    }
+    for row in a:
+        assert exact[(row[0], row[1])] == row[2]
