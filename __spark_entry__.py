@@ -182,6 +182,39 @@ FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_graph_group_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k ranking composed over the edge-grouping operator
+    output: the 3 most frequent role transitions per window (count desc,
+    label tie-break) — the ranking/top-k family the reference lacks
+    (SURVEY.md §2.9), expressed as a window-function post-stage over
+    super-edges. The rank window partitions by window_end_s, so no global
+    sort appears in the plan."""
+    from pyspark.sql.window import Window
+
+    grouped = q_graph_group_edge_transition(spark, sf_dir)
+    w = Window.partitionBy("window_end_s").orderBy(F.desc("cnt"), F.asc("edge_label"))
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("window_end_s", "edge_label", F.col("cnt"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_TOP_TRANSITIONS_SQL = f"""
+WITH {_SQL_T}, {_SQL_EDGES},
+g AS (
+  SELECT role || '->' || n_role AS edge_label,
+         {_win_end_s('n_ts')} AS window_end_s,
+         COUNT(*) AS cnt
+  FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT window_end_s, edge_label, cnt,
+       CAST(row_number() OVER (PARTITION BY window_end_s ORDER BY cnt DESC, edge_label) AS INTEGER) AS rank
+FROM g
+QUALIFY rank <= 3
+"""
+
+
 def q_graph_group_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = _grouped_vertices(spark, sf_dir, _cfg(), [], [Count()])
     return sv.select(
@@ -498,6 +531,57 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: transitive closure of the jaccard pair edges via
+    iterative min-label propagation (operators/components.py), keeper = min
+    member. Oracle = recursive-CTE reachability in DuckDB."""
+    from graph_stream_zoomer_spark.operators.components import duplicate_clusters
+    from graph_stream_zoomer_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05, max_shingle_df=None)
+    return duplicate_clusters(pairs).select(
+        "keeper_id",
+        "n_members",
+        F.array_join(
+            F.transform(F.col("members"), lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+),
+lab AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT MIN(node) AS keeper_id,
+       COUNT(*) AS n_members,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM lab GROUP BY component
 """
 
 
@@ -931,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_count_arrow": _role_count_query({"use_arrow_extraction": True}),
         "graph_group_role_minmax": q_graph_group_role_minmax,
         "graph_group_edge_transition": q_graph_group_edge_transition,
+        "graph_group_top_transitions": q_graph_group_top_transitions,
         "graph_group_full": q_graph_group_full,
         "graph_group_property_textlen": q_graph_group_property_textlen,
         "graph_group_sliding": q_graph_group_sliding,
@@ -941,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -963,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_count_arrow": _ROLE_COUNT_SQL,
         "graph_group_role_minmax": _ROLE_MINMAX_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
+        "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,
         "graph_group_full": _FULL_SQL,
         "graph_group_property_textlen": _PROPERTY_SQL,
         "graph_group_sliding": _SLIDING_SQL,
@@ -973,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,

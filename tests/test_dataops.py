@@ -268,3 +268,28 @@ def test_ivf_topk_reproducible_deterministic(vectors):
     }
     for row in a:
         assert exact[(row[0], row[1])] == row[2]
+
+
+def test_connected_components_multihop(spark):
+    """a~b, b~c must collapse transitively even when (a,c) was never
+    emitted as a pair; singletons absent from pairs don't appear."""
+    from graph_stream_zoomer_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 20)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 20: 5, 21: 5, 22: 5}
+    clusters = {
+        r["keeper_id"]: (r["n_members"], list(r["members"]))
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {
+        1: (4, [1, 2, 3, 4]),
+        10: (2, [10, 11]),
+        5: (4, [5, 20, 21, 22]),
+    }
