@@ -93,6 +93,40 @@ def test_ann_broadcasts_query_side(spark):
     assert st.num_sortmerge_joins == 0
 
 
+def test_bucketed_layout_elides_binding_shuffle(spark, tmp_path):
+    """Storage layout as an optimization: a conv_id-bucketed transcript
+    table must satisfy the successor-window's required distribution at scan
+    time, eliding exchange (1) — the full-table shuffle — and leaving ONLY
+    the aggregation exchange. This is the bucket(conv_id) claim from
+    streaming/binding.py proven on a real plan."""
+    from graph_stream_zoomer_spark.sources.bucketed import (
+        read_bucketed_transcripts,
+        write_bucketed_transcripts,
+    )
+
+    cfg = StreamGraphConfig(window=WindowConfig.tumbling(600, "SECONDS"))
+    t = generate_transcripts(spark, 300)
+    spark.sql("DROP TABLE IF EXISTS gsz_test_bucketed")
+    write_bucketed_transcripts(
+        t, "gsz_test_bucketed", buckets=8, path=str(tmp_path / "bucketed")
+    )
+    try:
+        bt = read_bucketed_transcripts(spark, "gsz_test_bucketed")
+        out = transcript_graph(bt, cfg).apply(_op(cfg))
+        st = plan_stats(out.vertices)
+        assert st.num_exchanges <= 1, f"{st.num_exchanges} exchanges\n" + st.text[:3000]
+        # same data, unbucketed baseline: the window shuffle is back
+        ub = spark.read.parquet(str(tmp_path / "bucketed"))
+        st_ub = plan_stats(transcript_graph(ub, cfg).apply(_op(cfg)).vertices)
+        assert st_ub.num_exchanges == 2, st_ub.text[:2000]
+        # and the results are identical either way
+        a = sorted(map(tuple, out.vertices.drop("vertex_id").collect()))
+        b_rows = transcript_graph(ub, cfg).apply(_op(cfg)).vertices.drop("vertex_id")
+        assert a == sorted(map(tuple, b_rows.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gsz_test_bucketed")
+
+
 def test_ngram_jaccard_default_caps_shingle_df(spark):
     """The DEFAULT jaccard call must cap shingle document-frequency (hot
     shingles would otherwise make the inverted-index self-join quadratic):
