@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode/feature-extraction kernels are STUBBED (image/audio libs are not
-in this container): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-(derived from the payload bytes) stands in. The Spark-side plumbing —
-schema, batch iteration, partition-preserving projection — is real and
-tested; swapping in PIL/librosa later only replaces the kernel body.
+Decode/feature/resize kernels are REAL for PPM (P6) images — parsed and
+average-pool-resized with pure numpy, no imaging libs needed — so the whole
+image path runs end-to-end on actual pixels in this container. Lib-bound
+formats (JPEG/PNG decode, audio, video frame seeking) remain declared
+stubs: they raise NotImplementedError unless ``fake=True`` substitutes a
+deterministic payload-derived fake. The Spark-side plumbing — schema, batch
+iteration, partition-preserving projection — is identical for both; a real
+PIL/soundfile/pyav deployment only widens the format dispatch.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-row Python objects; keep
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,16 +57,53 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def parse_ppm(payload: bytes) -> "np.ndarray":
+    """Decode a binary PPM (P6) image to an (h, w, 3) uint8 array — pure
+    numpy, no imaging libs. Handles arbitrary whitespace and '#' comments in
+    the header per the netpbm spec."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
 def _decode_kernel(payload: bytes, kind: str, fake: bool):
-    """The stubbed decode step. Real implementation would dispatch to
-    PIL / soundfile / pyav by ``kind``."""
+    """Decode step: REAL for P6 PPM (numpy pixel decode — feature = mean
+    pixel intensity over the 3 channel planes); other formats dispatch to
+    the declared stub (PIL / soundfile / pyav in a real deployment)."""
+    import hashlib
+
+    if payload is not None and payload.startswith(b"P6"):
+        arr = parse_ppm(payload)
+        return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
     if not fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} requires media libs not present in this container"
         )
     # deterministic fake feature: byte histogram mean over a fixed dim
-    import hashlib
-
     dim = 16
     if payload is None:
         return 0.0, dim, hashlib.sha256(b"").hexdigest()
@@ -117,10 +157,17 @@ FRAME_SCHEMA = StructType(
 
 
 def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes:
-    """Stubbed image resize. Real implementation: PIL decode → resample →
-    re-encode. Deterministic fake: payload truncated/cycled to a size
-    proportional to the target pixel count (keeps downstream size-based
-    logic exercisable)."""
+    """Image resize: REAL for P6 PPM — nearest-neighbor index mapping in
+    numpy (deterministic, lib-free) re-encoded as P6. Other formats fall to
+    the declared stub (PIL resample in a real deployment); deterministic
+    fake = payload truncated/cycled to a size proportional to the target
+    pixel count (keeps downstream size-based logic exercisable)."""
+    if payload is not None and payload.startswith(b"P6"):
+        arr = parse_ppm(payload)
+        h, w, _ = arr.shape
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return encode_ppm(arr[rows][:, cols])
     if not fake:
         raise NotImplementedError("resize requires image libs not present in this container")
     if payload is None:
@@ -187,6 +234,18 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def generate_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic P6 PPM test image (channel-wise gradients keyed by
+    ``seed``) — lets tests and demos drive the REAL decode/resize kernels
+    with zero external assets."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    r = np.broadcast_to((y * 7 + seed) % 256, (height, width))
+    g = np.broadcast_to((x * 13 + seed * 3) % 256, (height, width))
+    b = (x + y + seed) % 256
+    return encode_ppm(np.stack([r, g, b], axis=-1).astype(np.uint8))
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
