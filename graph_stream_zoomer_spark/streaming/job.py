@@ -71,11 +71,13 @@ def run_grouping_job(
     branches of ONE streaming query (a discriminated union): one
     trigger/commit/offset log, one checkpoint tree, one no-data drain
     sequence — less total work, and row-for-row identical output to the
-    two-query mode (verified under full watermark drain). The default keeps
-    the two-query shape: the independent queries overlap their stage
-    latencies on idle cores (measured faster wall-clock on this profile at
-    every level tried); prefer unified on a saturated cluster where total
-    work, not latency hiding, sets throughput.
+    two-query mode (verified under full watermark drain). Measured head to
+    head (BENCH.md appendix): unified is faster in wall-clock when cores
+    are scarce (−21% at 2 pinned cores — two concurrent queries contend)
+    and within noise of two-query when cores are plentiful (−6% at 8). The
+    default keeps the two-query shape for its operational properties
+    (independent checkpoints, one stream restartable without the other);
+    prefer unified on a core-constrained deployment.
     """
     cfg: StreamGraphConfig = op.config
     wm = cfg.watermark_delay

@@ -125,3 +125,35 @@ def test_super_ids_consistent_across_paths(graph):
         grouped.select("super_vertex_id").distinct(), "super_vertex_id", "left_anti"
     )
     assert joined.count() == 0
+
+
+def test_operator_is_closed_groupings_compose(graph):
+    """The reference's core contract (README.md:16-20): output has the same
+    schema as input, so groupings COMPOSE. Grouping by :label and then
+    re-grouping that output with no keys (summing the 'count' property)
+    must equal grouping the original stream with no keys directly — per
+    window, to the row."""
+    g, cfg = graph
+
+    def build(keys, aggs):
+        b = GroupingBuilder().set_window_config(cfg.window).set_config(cfg)
+        for k in keys:
+            b.add_vertex_grouping_key(k)
+        for a in aggs:
+            b.add_vertex_aggregate_function(a)
+        return b.build()
+
+    fine = g.apply(build([":label"], [Count()]))
+    # closed: the output IS a StreamGraph with the input schema → re-apply
+    refined = fine.apply(build([], [SumProperty("count")]))
+    direct = g.apply(build([], [Count()]))
+
+    re_rows = {
+        str(r["event_time"]): int(float(r["vertex_properties"]["sum_count"]))
+        for r in refined.vertices.collect()
+    }
+    di_rows = {
+        str(r["event_time"]): int(r["vertex_properties"]["count"])
+        for r in direct.vertices.collect()
+    }
+    assert re_rows == di_rows and re_rows
