@@ -462,6 +462,47 @@ WHERE role = 'click' AND r1 = 'purchase' AND i1 = turn_idx + 1
 """
 
 
+def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP skip-till-next-match with negation: each click matched to the
+    NEXT purchase in the same user timeline (any gap) within 30 days, with
+    no error event strictly between (operators/cep.py match_followed_by)."""
+    from graph_stream_zoomer_spark.operators.cep import match_followed_by
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    return match_followed_by(t, "click", "purchase", within="30 days", not_between="error")
+
+
+_CEP_FOLLOWED_BY_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, ts
+  FROM events
+),
+n AS (
+  SELECT conv_id, turn_idx, role, ts,
+         MIN(CASE WHEN role = 'purchase' THEN turn_idx END)
+           OVER w AS nb_idx,
+         MIN(CASE WHEN role = 'error' THEN turn_idx END)
+           OVER w AS nc_idx
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+m AS (
+  SELECT n.conv_id, n.turn_idx AS start_turn_idx, nb_idx AS end_turn_idx,
+         n.ts AS start_ts, b.ts AS end_ts, nc_idx
+  FROM n JOIN t b ON b.conv_id = n.conv_id AND b.turn_idx = n.nb_idx
+  WHERE n.role = 'click' AND n.nb_idx IS NOT NULL
+)
+SELECT conv_id, start_turn_idx, end_turn_idx, start_ts, end_ts
+FROM m
+WHERE end_ts <= start_ts + INTERVAL 30 DAY
+  AND (nc_idx IS NULL OR nc_idx > end_turn_idx)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1023,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_session_stateful": q_graph_group_session_stateful,
         "graph_triples_join": q_graph_triples_join,
         "cep_sequence_match": q_cep_sequence_match,
+        "cep_followed_by": q_cep_followed_by,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1057,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_session_stateful": _SESSION_SQL,
         "graph_triples_join": _TRIPLES_JOIN_SQL,
         "cep_sequence_match": _CEP_SQL,
+        "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -92,6 +92,61 @@ def match_sequence(
     )
 
 
+def match_followed_by(
+    turns: DataFrame,
+    first: str,
+    then: str,
+    within: str = "1 hour",
+    not_between: str | None = None,
+) -> DataFrame:
+    """CEP skip-till-next-match: each ``first``-role turn matched with the
+    NEXT ``then``-role turn of the same conversation (any gap, not just
+    adjacent — the relaxed selection policy match_sequence's strict
+    contiguity lacks), last turn within ``within`` of the first;
+    ``not_between`` adds negation (no such role strictly between the pair).
+
+    One conv_id window exchange, no join: next-occurrence lookup is a
+    min-over-following-frame aggregate (min of (turn_idx, ts) structs over
+    ROWS 1 FOLLOWING → UNBOUNDED), which Spark evaluates in a single pass
+    per partition — O(turns) per conversation, not O(turns²).
+    """
+    _interval_us(within)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+
+    def next_of(role: str) -> Column:
+        return F.min(
+            F.when(F.col("role") == role, F.struct("turn_idx", "ts"))
+        ).over(w)
+
+    d = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        next_of(then).alias("_nb"),
+        *([next_of(not_between).alias("_nc")] if not_between else []),
+    ).where(F.col("role") == first)
+    cond = (
+        F.col("_nb").isNotNull()
+        & (F.col("_nb.ts") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+    )
+    if not_between:
+        cond = cond & (
+            F.col("_nc").isNull() | (F.col("_nc.turn_idx") > F.col("_nb.turn_idx"))
+        )
+    return d.where(cond).select(
+        "conv_id",
+        F.col("turn_idx").alias("start_turn_idx"),
+        F.col("_nb.turn_idx").alias("end_turn_idx"),
+        F.col("ts").alias("start_ts"),
+        F.col("_nb.ts").alias("end_ts"),
+    )
+
+
 def streaming_match_sequence(
     turns: DataFrame, pattern: list[str], within: str = "1 hour"
 ) -> DataFrame:

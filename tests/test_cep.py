@@ -98,3 +98,46 @@ def test_time_bound_excludes_slow_runs(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = match_sequence(turns, PATTERN, within="1 hour").collect()
     assert [r["conv_id"] for r in got] == ["c2"]
+
+
+def test_followed_by_gap_negation_and_window(spark):
+    """Skip-till-next-match semantics: gaps allowed, NEXT occurrence only,
+    negation role blocks, time bound excludes slow pairs."""
+    from graph_stream_zoomer_spark.operators.cep import match_followed_by
+
+    rows = [
+        # c1: click .. view .. purchase (gap ok) then a second purchase
+        # (NOT matched — only the next one counts)
+        ("c1", 0, "click", "2025-01-01 00:00:00"),
+        ("c1", 1, "view", "2025-01-01 00:01:00"),
+        ("c1", 2, "purchase", "2025-01-01 00:02:00"),
+        ("c1", 3, "purchase", "2025-01-01 00:03:00"),
+        # c2: error strictly between → negation blocks
+        ("c2", 0, "click", "2025-01-01 00:00:00"),
+        ("c2", 1, "error", "2025-01-01 00:01:00"),
+        ("c2", 2, "purchase", "2025-01-01 00:02:00"),
+        # c3: purchase too late (2h > 1h bound)
+        ("c3", 0, "click", "2025-01-01 00:00:00"),
+        ("c3", 1, "purchase", "2025-01-01 02:00:00"),
+        # c4: error AFTER the matched purchase → does not block
+        ("c4", 0, "click", "2025-01-01 00:00:00"),
+        ("c4", 1, "purchase", "2025-01-01 00:30:00"),
+        ("c4", 2, "error", "2025-01-01 00:45:00"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_followed_by(
+            t, "click", "purchase", within="1 hour", not_between="error"
+        ).collect()
+    }
+    assert got == {("c1", 0, 2), ("c4", 0, 1)}
+    # without negation, c2 matches too
+    got2 = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_followed_by(t, "click", "purchase", within="1 hour").collect()
+    }
+    assert got2 == {("c1", 0, 2), ("c2", 0, 2), ("c4", 0, 1)}
