@@ -462,6 +462,63 @@ WHERE role = 'click' AND r1 = 'purchase' AND i1 = turn_idx + 1
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): token-offset
+    chunking of each user timeline into 64-token packs, one window pass."""
+    from graph_stream_zoomer_spark.operators.packing import pack_sequences
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    return pack_sequences(t, 64).select(
+        "conv_id", "turn_idx", "n_tokens", "tok_offset", "pack_idx"
+    )
+
+
+_PACK_SQL = f"""
+WITH {_SQL_T},
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+(?:''[a-z]+)?')) AS BIGINT) AS n_tokens
+  FROM t
+),
+o AS (
+  SELECT conv_id, turn_idx, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM tok
+)
+SELECT conv_id, turn_idx, n_tokens, tok_offset,
+       CAST(tok_offset // 64 AS BIGINT) AS pack_idx
+FROM o
+"""
+
+
+def q_text_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test split (operators/packing.py
+    assign_split) — bucket arithmetic reproduced verbatim by the oracle."""
+    from graph_stream_zoomer_spark.operators.packing import assign_split
+
+    return (
+        assign_split(_docs(spark, sf_dir), "doc_id", val_pct=5, test_pct=5)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 5 THEN 'val'
+            WHEN bucket < 10 THEN 'test'
+            ELSE 'train' END AS split,
+       source, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP skip-till-next-match with negation: each click matched to the
     NEXT purchase in the same user timeline (any gap) within 30 days, with
@@ -1080,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "text_split_counts": q_text_split_counts,
         "media_digests": q_media_digests,
     }
 
@@ -1115,5 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
+        "pack_sequences": _PACK_SQL,
+        "text_split_counts": _SPLIT_SQL,
         "media_digests": _MEDIA_SQL,
     }

@@ -1,0 +1,76 @@
+"""Training-example preparation: sequence packing and deterministic splits.
+
+The last mile of a pretraining data pipeline: after dedup/quality filtering,
+turns are packed into fixed-token-budget training sequences and every
+example is routed to a train/val/test split — both must be deterministic
+(re-running the pipeline on the same snapshot yields byte-identical splits)
+and shuffle-minimal at 100 TB.
+
+- ``pack_sequences``: token-offset chunking — per conversation, each turn's
+  pack index = floor(running-start-offset / max_tokens). One window pass on
+  the conv_id exchange the successor binding already needs; a turn whose
+  tokens straddle a boundary starts inside its pack (the standard
+  concat-then-chunk pretraining layout, where examples are later truncated/
+  continued at the token level). Exactly reproducible in SQL (cumsum
+  window), unlike greedy bin-packing which is inherently sequential.
+- ``assign_split``: md5-hash bucketing of a stable key into named splits by
+  percentage — no sampling randomness, no global sort, portable to any
+  engine (the same document lands in the same split everywhere, forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    turns: DataFrame,
+    max_tokens: int,
+    token_count: Column | None = None,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Assign each turn a ``pack_id`` (conv-scoped chunk of ~max_tokens) and
+    its ``tok_offset`` within the conversation's token stream. Output keeps
+    every input column and adds (n_tokens, tok_offset, pack_idx, pack_id).
+    """
+    if token_count is None:
+        from ..functions.text import expr_token_count
+
+        token_count = expr_token_count("text")
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    d = turns.withColumn("n_tokens", token_count.cast("bigint"))
+    d = d.withColumn(
+        "tok_offset",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    d = d.withColumn("pack_idx", (F.col("tok_offset") / max_tokens).cast("bigint"))
+    return d.withColumn(
+        "pack_id", F.concat_ws("#", F.col(conv_col), F.col("pack_idx").cast("string"))
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic md5-hash split: bucket = md5(key) mod 100; the first
+    ``val_pct`` buckets are 'val', the next ``test_pct`` 'test', the rest
+    'train'. Pure projection (no shuffle, no randomness); reproducible on
+    any SQL engine via the same md5 arithmetic."""
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

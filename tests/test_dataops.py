@@ -335,3 +335,33 @@ def test_ppm_decode_and_resize_are_real(spark):
         assert out.shape == (3, 4, 3)
         assert (out == arr[rows][:, cols]).all()
         assert small[i]["width"] == 4 and small[i]["height"] == 3
+
+
+def test_pack_sequences_and_split(spark):
+    """Token-offset chunking: offsets are the running sum of preceding turn
+    tokens, pack boundaries at max_tokens multiples; split assignment is a
+    pure deterministic projection with sane proportions."""
+    from graph_stream_zoomer_spark.operators.packing import assign_split, pack_sequences
+
+    rows = [("c1", i, f"{'tok ' * (10 * (i + 1))}") for i in range(4)]  # 10,20,30,40 tokens
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    packed = {r["turn_idx"]: r for r in pack_sequences(t, max_tokens=25).collect()}
+    assert [packed[i]["n_tokens"] for i in range(4)] == [10, 20, 30, 40]
+    assert [packed[i]["tok_offset"] for i in range(4)] == [0, 10, 30, 60]
+    assert [packed[i]["pack_idx"] for i in range(4)] == [0, 0, 1, 2]
+    assert packed[2]["pack_id"] == "c1#1"
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_split(docs, "doc_id", 10, 10).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.15 < counts["val"] / 2000 * 2 < 0.25  # ~10% each, hash-binomial slack
+    assert counts["train"] / 2000 > 0.7
+    # deterministic: same ids → same split on a re-run
+    again = {
+        r["split"]: r["n"]
+        for r in assign_split(docs, "doc_id", 10, 10).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == again
