@@ -97,8 +97,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "graph_group_edge_transition",
         "graph_group_sliding",
         "graph_group_session",
+        "graph_group_top_transitions",
         "cep_sequence_match",
+        "cep_followed_by",
         "dedup_fingerprint",
+        "dedup_clusters",
+        "pack_sequences",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
