@@ -215,6 +215,41 @@ QUALIFY rank <= 3
 """
 
 
+def q_graph_group_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregate family: exact unique conversations per
+    window (two-level partial agg under the hood). The approximate HLL
+    twin (approx_count_distinct, one pass, mergeable sketch — the form
+    that wins at 100 TB) is pinned within 5%% of this exact result by
+    tests/test_dataops.py::test_approx_distinct_tracks_exact."""
+    t = events_to_transcripts_df(spark, sf_dir)
+    return (
+        t.groupBy(
+            ((F.unix_seconds(F.col("ts").cast("timestamp")) / _WIN_S).cast("bigint") * _WIN_S + _WIN_S).alias("window_end_s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def events_to_transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    return events_to_transcripts(load_events(spark, sf_dir))
+
+
+_WINDOW_USERS_SQL = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, ts FROM events
+)
+SELECT {_win_end_s('ts')} AS window_end_s,
+       COUNT(*) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM t GROUP BY 1
+"""
+
+
 def q_graph_group_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = _grouped_vertices(spark, sf_dir, _cfg(), [], [Count()])
     return sv.select(
@@ -1114,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_minmax": q_graph_group_role_minmax,
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_top_transitions": q_graph_group_top_transitions,
+        "graph_group_window_users": q_graph_group_window_users,
         "graph_group_full": q_graph_group_full,
         "graph_group_property_textlen": q_graph_group_property_textlen,
         "graph_group_sliding": q_graph_group_sliding,
@@ -1151,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_minmax": _ROLE_MINMAX_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,
+        "graph_group_window_users": _WINDOW_USERS_SQL,
         "graph_group_full": _FULL_SQL,
         "graph_group_property_textlen": _PROPERTY_SQL,
         "graph_group_sliding": _SLIDING_SQL,

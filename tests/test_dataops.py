@@ -365,3 +365,24 @@ def test_pack_sequences_and_split(spark):
         for r in assign_split(docs, "doc_id", 10, 10).groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     assert counts == again
+
+
+def test_approx_distinct_tracks_exact(spark):
+    """approx_count_distinct (mergeable HLL sketch — the 100 TB form of the
+    distinct-count family) stays within 5% of exact countDistinct on the
+    windowed unique-conversation aggregate."""
+    from graph_stream_zoomer_spark.sources.events_binding import (
+        events_to_transcripts,
+        load_events,
+    )
+
+    t = events_to_transcripts(load_events(spark, "/root/testdata/sf0.01"))
+    win = (F.unix_seconds(F.col("ts").cast("timestamp")) / 600).cast("bigint")
+    agg = t.groupBy(win.alias("w")).agg(
+        F.countDistinct("conv_id").alias("exact"),
+        F.approx_count_distinct("conv_id", rsd=0.02).alias("approx"),
+    )
+    rows = agg.collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
