@@ -94,6 +94,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     for name in [
         "graph_group_role_count",
         "graph_group_role_count_salted",
+        "graph_group_role_minmax",
+        "graph_group_window_users",
         "graph_group_edge_transition",
         "graph_group_sliding",
         "graph_group_session",
