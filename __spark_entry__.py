@@ -518,8 +518,8 @@ tok AS (
 ),
 o AS (
   SELECT conv_id, turn_idx, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM tok
 )
 SELECT conv_id, turn_idx, n_tokens, tok_offset,

@@ -85,7 +85,20 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         out = graph.apply(op)
         return out.vertices.count() + out.edges.count()
 
-    run("graph_grouping_transcripts", flagship)
+    # JIT warm-up + min-of-3 warm trials: the first execution of this plan in
+    # a fresh JVM is dominated by codegen/JIT compilation (~2-3× steady
+    # state), which made round-over-round flagship deltas pure noise. The
+    # cold trial is reported separately; the headline number is steady-state
+    # throughput (same protocol as scripts/scaling_bench.py).
+    t_cold0 = time.time()
+    flagship()
+    extras["flagship_cold_sec"] = round(time.time() - t_cold0, 3)
+    warm = []
+    for _ in range(3):
+        t0 = time.time()
+        flagship()
+        warm.append(time.time() - t0)
+    timings["graph_grouping_transcripts"] = round(min(warm), 3)
     extras["turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / timings["graph_grouping_transcripts"], 1)
 

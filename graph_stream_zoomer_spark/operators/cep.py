@@ -68,7 +68,11 @@ def match_sequence(
     ``within`` of the first. One shuffle (the conv_id window exchange)."""
     n = len(pattern)
     assert n >= 1
-    _interval_us(within)  # validate up front: batch and streaming accept the same grammar
+    # Parse once with the shared grammar and execute via the normalized
+    # microsecond count — Spark's multi-unit INTERVAL literal grammar is
+    # stricter than _interval_us (rejects fractional non-final units), so
+    # re-parsing the raw string could fail specs the validator blessed.
+    within_us = _interval_us(within)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     cols = [F.col("role").alias("_r0"), F.col("ts").alias("_t0"), F.col("turn_idx")]
     for i in range(1, n):
@@ -83,7 +87,7 @@ def match_sequence(
         # the predicate survives a change of ordering column
         cond = cond & (F.col(f"_i{i}") == F.col("turn_idx") + i)
     last_t = F.col(f"_t{n-1}") if n > 1 else F.col("_t0")
-    cond = cond & (last_t <= F.col("_t0") + F.expr(f"INTERVAL {within}"))
+    cond = cond & (last_t <= F.col("_t0") + F.expr(f"INTERVAL {within_us} MICROSECOND"))
     return d.where(cond).select(
         "conv_id",
         F.col("turn_idx").alias("start_turn_idx"),
@@ -110,7 +114,7 @@ def match_followed_by(
     ROWS 1 FOLLOWING → UNBOUNDED), which Spark evaluates in a single pass
     per partition — O(turns) per conversation, not O(turns²).
     """
-    _interval_us(within)
+    within_us = _interval_us(within)  # normalized: see match_sequence note
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -132,7 +136,7 @@ def match_followed_by(
     ).where(F.col("role") == first)
     cond = (
         F.col("_nb").isNotNull()
-        & (F.col("_nb.ts") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+        & (F.col("_nb.ts") <= F.col("ts") + F.expr(f"INTERVAL {within_us} MICROSECOND"))
     )
     if not_between:
         cond = cond & (

@@ -6,13 +6,22 @@ produce edges; keeping one document per *cluster* requires the transitive
 closure of those edges (a~b, b~c ⇒ {a,b,c} drop to one keeper).
 
 Algorithm: iterative min-label propagation (the standard Spark pattern —
-each node's label becomes the min of its own and its neighbors' labels;
-converges in O(diameter) rounds, and dup clusters are near-cliques so the
-diameter is tiny). Each round is one shuffle (groupBy node); lineage is
-truncated with localCheckpoint so 20 rounds don't build a 20-deep plan.
-At 100 TB scale: the edge set (dup pairs) is orders of magnitude smaller
-than the corpus, rounds are O(log n) worst-case, and the final membership
-join is a broadcast when the dup set is small relative to the corpus.
+each node's label becomes the min of its own and its neighbors' labels).
+Plain neighbor-min propagation needs O(diameter) rounds — NOT O(log n);
+dup clusters are near-cliques so the diameter (and hence round count) is
+tiny in practice, but chainy pair sets (a~b, b~c, ...) can exceed any
+fixed ``max_iter``, so non-convergence is detected and raised rather than
+silently emitting split components. Each round is one shuffle (groupBy
+node); lineage is truncated per round so 20 rounds don't build a 20-deep
+plan.
+
+Checkpointing at scale: ``localCheckpoint`` stores blocks NON-replicated
+on executors — on a real cluster, losing one executor mid-iteration kills
+the job unrecoverably (the lineage needed to recompute the blocks has been
+discarded). For cluster runs pass ``checkpoint_dir`` (or pre-set one via
+``spark.sparkContext.setCheckpointDir``) to get reliable
+``df.checkpoint()`` to fault-tolerant storage; ``localCheckpoint`` remains
+the zero-config local-mode default.
 
 No reference equivalent (the reference groups streams, it has no iterative
 graph algorithm); this is a training-data-pipeline addition.
@@ -20,8 +29,24 @@ graph algorithm); this is a training-data-pipeline addition.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """min-label propagation exhausted max_iter without converging —
+    returned components would be WRONG (split), so we refuse."""
+
+
+def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage: reliable ``checkpoint`` (HDFS/S3-backed, survives
+    executor loss) when a checkpoint dir is configured, else
+    ``localCheckpoint`` (fast, executor-local, local-mode only)."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -29,6 +54,8 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     min node id of its connected component (deterministic, SQL-checkable).
@@ -36,8 +63,23 @@ def connected_components(
     Pure DataFrame min-label propagation: per round, every node pulls the
     min label over {itself} ∪ neighbors. Converged when no label changed
     (cheap count on the changed set — runs on the already-checkpointed
-    round result, not a recomputation).
+    round result, not a recomputation). Needs O(diameter) rounds.
+
+    ``checkpoint_dir``: set to a fault-tolerant path (HDFS/S3) on real
+    clusters — enables reliable ``df.checkpoint()``; without it (and
+    without a pre-set ``sc.setCheckpointDir``) falls back to
+    ``localCheckpoint``, which does not survive executor loss.
+
+    ``on_nonconverged``: "raise" (default — split components are wrong
+    answers, not degraded ones) or "warn".
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    reliable = sc.getCheckpointDir() is not None
+
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -45,13 +87,14 @@ def connected_components(
     )
     # undirected: both directions, so one groupBy(node) sees all neighbors
     sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate(sym, reliable)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = _truncate(labels, reliable)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -67,12 +110,23 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate(new_labels, reliable)
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (propagation needs O(diameter) rounds; the pair graph has "
+            "a longer path) — results would contain SPLIT components. "
+            "Raise max_iter."
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -80,12 +134,16 @@ def duplicate_clusters(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate clusters from pair edges: one row per component with the
     canonical keeper (min id), member count, and the sorted member list
     (deterministic output — hash-comparable against a recursive-SQL
     oracle)."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(
+        pairs, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
     return (
         cc.groupBy("component")
         .agg(

@@ -21,18 +21,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, already_parallel: bool | None = None) -> DataFrame:
     """Repartition a (small, pre-explode) doc table to the session's
     parallelism: doc corpora often arrive as a handful of files, and the
     explode-heavy operators below would otherwise run the entire
     shingle/token fan-out on one core. The shuffle moves only the compact
-    pre-explode rows — and is skipped entirely when the input already has
-    enough partitions (a 100 TB corpus arrives with thousands; repartition
-    there would be a wasted full-corpus shuffle)."""
+    pre-explode rows — and is skipped entirely when the input is already
+    parallel (a 100 TB corpus arrives with thousands of splits; repartition
+    there would be a wasted full-corpus shuffle).
+
+    Parallelism is probed WITHOUT ``df.rdd`` (which forces a plan→RDD
+    conversion per call): callers that know pass ``already_parallel``
+    explicitly; otherwise the leaf input-file count stands in for the split
+    count. File count only *under*-estimates splits (large files are split
+    further by maxPartitionBytes), so the probe errs toward a repartition of
+    an input that is by definition small."""
+    if already_parallel is True:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    if already_parallel is None:
+        try:
+            if len(df.inputFiles()) >= target:
+                return df
+        except Exception:
+            pass  # non-file source — fall through to repartition
     return df.repartition(target)
 
 

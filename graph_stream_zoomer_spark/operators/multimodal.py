@@ -97,8 +97,15 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool):
     import hashlib
 
     if payload is not None and payload.startswith(b"P6"):
-        arr = parse_ppm(payload)
-        return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
+        # Opportunistic sniff: a non-PPM payload can legitimately start with
+        # b"P6" (e.g. raw text routed through documents_as_media), so a parse
+        # failure falls through to the stub/fake branch instead of killing
+        # the whole mapInPandas task.
+        try:
+            arr = parse_ppm(payload)
+            return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
+        except ValueError:
+            pass
     if not fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} requires media libs not present in this container"
@@ -163,11 +170,17 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
     fake = payload truncated/cycled to a size proportional to the target
     pixel count (keeps downstream size-based logic exercisable)."""
     if payload is not None and payload.startswith(b"P6"):
-        arr = parse_ppm(payload)
-        h, w, _ = arr.shape
-        rows = (np.arange(height) * h) // height
-        cols = (np.arange(width) * w) // width
-        return encode_ppm(arr[rows][:, cols])
+        # Same sniff-don't-trust rule as _decode_kernel: malformed "P6"-
+        # prefixed payloads fall through rather than failing the task.
+        try:
+            arr = parse_ppm(payload)
+        except ValueError:
+            arr = None
+        if arr is not None:
+            h, w, _ = arr.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_ppm(arr[rows][:, cols])
     if not fake:
         raise NotImplementedError("resize requires image libs not present in this container")
     if payload is None:

@@ -141,3 +141,30 @@ def test_followed_by_gap_negation_and_window(spark):
         for r in match_followed_by(t, "click", "purchase", within="1 hour").collect()
     }
     assert got2 == {("c1", 0, 2), ("c2", 0, 2), ("c4", 0, 1)}
+
+
+def test_interval_grammar_parity_fractional_multiunit(spark):
+    """Every spec _interval_us blesses must also EXECUTE: '1.5 hours
+    30 minutes' is valid to the shared validator but rejected by Spark's
+    multi-unit INTERVAL literal grammar (fractional non-final unit) — the
+    operators must therefore run on the normalized microsecond count, not
+    re-parse the raw string."""
+    from graph_stream_zoomer_spark.operators.cep import match_followed_by, match_sequence
+
+    rows = [
+        ("c1", 0, "user", "2025-06-01 10:00:00"),
+        ("c1", 1, "assistant", "2025-06-01 11:45:00"),  # 105 min later
+        ("c2", 0, "user", "2025-06-01 10:00:00"),
+        ("c2", 1, "assistant", "2025-06-01 12:15:00"),  # 135 min later
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, "", "", ts) for c, i, r, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # 1.5 hours 30 minutes = 120 min: c1 (105) in, c2 (135) out
+    got = match_sequence(t, ["user", "assistant"], within="1.5 hours 30 minutes").collect()
+    assert [r["conv_id"] for r in got] == ["c1"]
+    got_fb = match_followed_by(
+        t, "user", "assistant", within="1.5 hours 30 minutes"
+    ).collect()
+    assert [r["conv_id"] for r in got_fb] == ["c1"]

@@ -295,6 +295,61 @@ def test_connected_components_multihop(spark):
     }
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With checkpoint_dir set, lineage truncation uses reliable
+    df.checkpoint() (survives executor loss on a real cluster) and results
+    are unchanged; checkpoint files actually land in the dir."""
+    import os
+
+    from graph_stream_zoomer_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc-ckpt")
+    try:
+        cc = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        written = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert written, "reliable checkpoint dir is empty — localCheckpoint was used"
+    finally:
+        # don't leak the checkpoint dir into the shared-session tests
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(spark.sparkContext._jvm.scala.Option.empty())
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph longer than max_iter rounds must RAISE, not silently
+    return split components (propagation is O(diameter), not O(log n))."""
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    # path 0-1-2-...-9: min label needs 9 rounds to reach the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(pairs, max_iter=3).collect()
+    # warn mode degrades instead of failing
+    with pytest.warns(RuntimeWarning):
+        connected_components(pairs, max_iter=3, on_nonconverged="warn").collect()
+    # and enough rounds converges to one component
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, max_iter=15).collect()
+    }
+    assert set(cc.values()) == {0}
+
+
 def test_ppm_decode_and_resize_are_real(spark):
     """The image path runs on ACTUAL pixels for PPM payloads — no fake
     fallback (fake=False) and no imaging libs: decode, feature-extract and
@@ -335,6 +390,37 @@ def test_ppm_decode_and_resize_are_real(spark):
         assert out.shape == (3, 4, 3)
         assert (out == arr[rows][:, cols]).all()
         assert small[i]["width"] == 4 and small[i]["height"] == 3
+
+
+def test_p6_prefixed_non_ppm_falls_through(spark):
+    """A payload that merely *starts* with b'P6' (e.g. raw text routed via
+    documents_as_media) must not kill the mapInPandas task: fake=True falls
+    through to the deterministic fake; fake=False raises the declared
+    NotImplementedError (stub), not a parse ValueError."""
+    import hashlib
+
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    bogus = b"P6ssword reset requested by user"  # text, not a netpbm header
+    media = spark.createDataFrame(
+        [(0, "text", bogus, "text/plain", None, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=True).collect()[0]
+    assert row["digest"] == hashlib.sha256(bogus).hexdigest()
+    assert row["feat_dim"] == 16  # fake-branch dim, not the PPM 3
+    resized = resize_media(media, 4, 3, fake=True).collect()[0]
+    assert resized["payload"] is not None
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
 
 
 def test_pack_sequences_and_split(spark):
