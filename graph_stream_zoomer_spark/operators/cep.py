@@ -250,6 +250,155 @@ def streaming_match_sequence(
     )
 
 
+FOLLOWED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("start_turn_idx", IntegerType()),
+        StructField("end_turn_idx", IntegerType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+
+def streaming_match_followed_by(
+    turns: DataFrame,
+    first: str,
+    then: str,
+    within: str = "1 hour",
+    not_between: str | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`match_followed_by` — same output rows,
+    emitted exactly once per matched pair, over a watermarked stream.
+
+    Skip-till-next-match needs a *decision*, not just a detection: a
+    ``first``-role turn at index ``i`` pairs with the NEXT ``then``-role
+    turn, so with out-of-order arrival we may only decide once every index
+    between ``i`` and the candidate is present (a missing turn could be an
+    earlier ``then`` — or a blocking ``not_between``). Per-conversation
+    keyed state buffers turns; each start is decided exactly once:
+
+    - *live* (``ts_i + within ≥ watermark``): decided only through a
+      gap-free walk from ``i+1`` — stop at the first ``then`` (emit iff in
+      time bound and no ``not_between`` seen), stay undecided on a gap or
+      if the walk runs off the buffered suffix.
+    - *finalize* (``ts_i + within < watermark``): any still-missing turn
+      would now be late (dropped upstream), so the buffer IS the
+      conversation — decide over the present turns, gaps and all.
+
+    Decisions (both match and no-match) are recorded so re-scans never
+    re-emit; state expires on the same ``watermark − within`` horizon as
+    :func:`streaming_match_sequence`, with an event-time timeout at the
+    earliest undecided start's finalization deadline so decisions fire
+    even if the conversation never speaks again. One conv_id shuffle —
+    the same exchange every other per-conversation operator uses.
+    """
+    within_us = _interval_us(within)
+
+    def decide(buf: dict, i: int, allow_gaps: bool):
+        """Returns ('match', j) | ('nomatch', None) | ('open', None)."""
+        t0 = buf[i][1]
+        expected = i + 1
+        saw_neg = False
+        for k in sorted(x for x in buf if x > i):
+            if not allow_gaps and k != expected:
+                return ("open", None)
+            expected = k + 1
+            role = buf[k][0]
+            if role == then:
+                if buf[k][1] > t0 + within_us or saw_neg:
+                    return ("nomatch", None)
+                return ("match", k)
+            if not_between is not None and role == not_between:
+                saw_neg = True
+        # ran off the buffered suffix without a `then`
+        return ("nomatch", None) if allow_gaps else ("open", None)
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idxs, roles, ts_us, decided_list = state.get
+            buf = {int(i): (r, int(t)) for i, r, t in zip(idxs, roles, ts_us)}
+            decided = set(int(i) for i in decided_list)
+        else:
+            buf, decided = {}, set()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                tcol = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+                for i, r, t in zip(pdf["turn_idx"], pdf["role"], tcol):
+                    buf[int(i)] = (str(r), int(t))
+
+        out = {
+            "conv_id": [],
+            "start_turn_idx": [],
+            "end_turn_idx": [],
+            "start_ts": [],
+            "end_ts": [],
+        }
+        for i in sorted(buf):
+            if i in decided or buf[i][0] != first:
+                continue
+            finalize = buf[i][1] + within_us < wm_us
+            verdict, j = decide(buf, i, allow_gaps=finalize)
+            if verdict == "open":
+                continue
+            decided.add(i)
+            if verdict == "match":
+                out["conv_id"].append(key[0])
+                out["start_turn_idx"].append(i)
+                out["end_turn_idx"].append(j)
+                out["start_ts"].append(pd.Timestamp(buf[i][1], unit="us"))
+                out["end_ts"].append(pd.Timestamp(buf[j][1], unit="us"))
+
+        # retention mirrors streaming_match_sequence: a turn stays while it
+        # could still serve a start whose deadline has not expired
+        horizon = wm_us - within_us
+        keep = {i: v for i, v in buf.items() if v[1] + within_us >= horizon}
+        if keep:
+            ks = sorted(keep)
+            state.update(
+                (
+                    [int(i) for i in ks],
+                    [keep[i][0] for i in ks],
+                    [int(keep[i][1]) for i in ks],
+                    sorted(int(i) for i in decided if i in keep),
+                )
+            )
+            undecided = [
+                keep[i][1] + within_us
+                for i in ks
+                if keep[i][0] == first and i not in decided
+            ]
+            if undecided:
+                # fire at the earliest finalization deadline
+                t_ms = min(undecided) // 1000 + 1
+            else:
+                t_ms = min(v[1] + 2 * within_us for v in keep.values()) // 1000
+            state.setTimeoutTimestamp(max(t_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out["conv_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        turns.select("conv_id", "turn_idx", "role", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            matcher,
+            FOLLOWED_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 _UNIT_US = {
     "microsecond": 1,
     "millisecond": 1_000,

@@ -143,6 +143,89 @@ def test_followed_by_gap_negation_and_window(spark):
     assert got2 == {("c1", 0, 2), ("c2", 0, 2), ("c4", 0, 1)}
 
 
+def _run_followed_stream(spark, path, cp, first, then, max_files=None, not_between=None):
+    from graph_stream_zoomer_spark.operators.cep import streaming_match_followed_by
+
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=max_files)
+    matched = streaming_match_followed_by(
+        stream.withWatermark("ts", "10 seconds"),
+        first,
+        then,
+        within="1 hour",
+        not_between=not_between,
+    )
+    rows = []
+    q = (
+        matched.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [r for r in rows if r["conv_id"] != "zz_flush" and r["conv_id"] != "zz"]
+
+
+def _fb_set(rows):
+    return {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"], r["start_ts"], r["end_ts"])
+        for r in rows
+    }
+
+
+def test_streaming_followed_by_matches_batch(spark, tmp_path):
+    """Keyed-state skip-till-next-match agrees row-for-row with the batch
+    window-frame form on generated transcripts (full watermark drain)."""
+    from graph_stream_zoomer_spark.operators.cep import match_followed_by
+
+    turns = generate_transcripts(spark, 50, late_fraction_pct=0, skew=False)
+    d = str(tmp_path / "fbturns")
+    turns.unionByName(_sentinel(spark)).repartition(4).write.parquet(d)
+
+    got = _fb_set(
+        _run_followed_stream(spark, d, str(tmp_path / "fbcp"), "user", "tool")
+    )
+    exp = _fb_set(match_followed_by(turns, "user", "tool", within="1 hour").collect())
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_streaming_followed_by_waits_for_gap_then_decides_once(spark, tmp_path):
+    """The NEXT-occurrence decision must wait for a missing in-between turn:
+    c1 = click(0) .. ?(1) .. purchase(2) with turn 1 delivered in a later
+    micro-batch. If turn 1 is an error (negation) the pair is blocked; the
+    early batch must NOT have emitted (0,2) prematurely."""
+    base = "2025-06-01 10:00:"
+    rows1 = [("c1", 0, "click", base + "00"), ("c1", 2, "purchase", base + "02"),
+             ("c2", 0, "click", base + "00"), ("c2", 2, "purchase", base + "02")]
+    rows2 = [("c1", 1, "error", base + "01"),  # blocks c1
+             ("c2", 1, "view", base + "01")]   # c2 unaffected
+    sent = [("zz", 0, "x", "2030-01-01 00:00:00")]
+
+    d = str(tmp_path / "fb2")
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [(c, i, r, r + str(i), "", ts) for c, i, r, ts in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.2)
+
+    write_chunk(rows1)
+    write_chunk(rows2)
+    write_chunk(sent)
+
+    got = _run_followed_stream(
+        spark, d, str(tmp_path / "fbcp2"), "click", "purchase",
+        max_files=1, not_between="error",
+    )
+    assert sorted((r["conv_id"], r["start_turn_idx"], r["end_turn_idx"]) for r in got) == [
+        ("c2", 0, 2)
+    ]
+
+
 def test_interval_grammar_parity_fractional_multiunit(spark):
     """Every spec _interval_us blesses must also EXECUTE: '1.5 hours
     30 minutes' is valid to the shared validator but rejected by Spark's
