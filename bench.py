@@ -149,6 +149,14 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         lambda: lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=10, bits=4).count(),
     )
     run(
+        "ann_lsh_topk_multitable",
+        # the recall-bearing config (bits=4 L=16; recall@10 ≈ 0.89 on the
+        # adversarial random-vector corpus — see BENCH.md "ANN recall")
+        lambda: lsh_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=10, bits=4, n_tables=16
+        ).count(),
+    )
+    run(
         "dedup_ngram_jaccard_capped",
         lambda: ngram_jaccard_pairs(docs, threshold=0.05).count(),  # default df cap
     )

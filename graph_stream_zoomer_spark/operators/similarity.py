@@ -83,18 +83,25 @@ def brute_force_topk(
 
 
 def hyperplane_bucket(
-    vec_col: Column | str, bits: int = 8, dim: int | None = None, reproducible: bool = False
+    vec_col: Column | str,
+    bits: int = 8,
+    dim: int | None = None,
+    reproducible: bool = False,
+    plane_offset: int = 0,
 ) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of ``bits``
     deterministic pseudo-random hyperplanes. Hyperplane j's i-th component
     is derived as (hash(j, i) % 2001 - 1000)/1000 — reproducible on any
     worker with no broadcast state. ``reproducible=True`` derives the hash
     from md5 hex (portable to the SQL oracle harness); the default uses
-    xxhash64 (faster, JVM-only)."""
+    xxhash64 (faster, JVM-only). ``plane_offset`` shifts the plane indices
+    so multi-table LSH gets independent hyperplane sets per table
+    (table t → offset t*bits); offset 0 keeps the historical plane ids."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
-    def plane_dot(j: int) -> Column:
+    def plane_dot(jj: int) -> Column:
+        j = jj + plane_offset
         if reproducible:
             def coef(i: Column) -> Column:
                 h = F.conv(
@@ -125,24 +132,46 @@ def lsh_topk(
     vec_col: str = "embedding",
     reproducible: bool = False,
     decimals: int = 6,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket. At 100 TB the corpus is written bucketed by this key
-    (bucketBy/partitionBy _bkt), so a query touches one bucket's files.
-    The bucketing is deterministic (hash-derived hyperplanes), so with
+    """Approximate top-k: score only corpus vectors sharing a hyperplane
+    bucket with the query in at least one of ``n_tables`` independent hash
+    tables (standard OR-amplification: per-table recall p^bits becomes
+    1-(1-p^bits)^L — the knob that buys recall at the cost of L× bucket
+    hashing and candidate volume). At 100 TB the corpus is written bucketed
+    by (table, bucket) (bucketBy/partitionBy), so a query touches L
+    buckets' files. The bucketing is deterministic (hash-derived
+    hyperplanes; table t uses plane ids t*bits..t*bits+bits-1), so with
     ``reproducible=True`` the exact result set is SQL-reconstructible and
-    oracle-checkable."""
+    oracle-checkable. ``n_tables=1`` keeps the historical single-table
+    plan (no candidate-dedup shuffle)."""
+
+    def buckets() -> Column:
+        return F.array(
+            *[
+                hyperplane_bucket(
+                    vec_col, bits, reproducible=reproducible, plane_offset=t * bits
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_bucket(vec_col, bits, reproducible=reproducible).alias("_bkt"),
+        F.posexplode(buckets()).alias("_tbl", "_bkt"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(vec_col, bits, reproducible=reproducible).alias("_bkt"),
+        F.posexplode(buckets()).alias("_tbl", "_bkt"),
     )
-    joined = c.join(F.broadcast(q), "_bkt").where(F.col("neighbor_id") != F.col("query_id"))
+    joined = c.join(F.broadcast(q), ["_tbl", "_bkt"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if n_tables > 1:
+        # a pair colliding in several tables must be scored once
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
     scored = joined.select(
         "query_id",
         "neighbor_id",
@@ -154,6 +183,41 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| over each query's top-``k`` rows (the
+    denominator is the exact set's size, which can be < k on small corpora).
+
+    This is the quality gauge for the deployment-default (xxhash64) LSH/IVF
+    paths, whose oracle checks only pin determinism of the `reproducible`
+    twins — recall is what tells you the bucketing itself is sound. Tiny
+    aggregate over two already-small top-k frames; never touches the corpus.
+    """
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def mean_recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Mean of :func:`recall_at_k` across queries (driver-side scalar —
+    the frames are per-query top-k, i.e. tiny by construction)."""
+    row = recall_at_k(approx, exact, k).agg(F.avg("recall").alias("m")).collect()[0]
+    return float(row["m"])
 
 
 def ivf_topk(

@@ -130,6 +130,39 @@ def test_lsh_and_ivf_topk(vectors):
     assert [r["neighbor_id"] for r in ivf] == [1, 2]
 
 
+def test_ann_recall_floor_default_paths(spark):
+    """Recall@10 of the deployment-default (xxhash64) ANN paths vs the
+    exact baseline on the sf0.01 embeddings — the quality gauge the oracle
+    checks (which pin only determinism of the md5 twins) cannot provide.
+    The synthetic vectors are near-random (no cluster structure), i.e. the
+    ADVERSARIAL case for ANN — real embedding corpora do better at the same
+    settings. Floors are set ~0.05 under the measured values so bucketing
+    regressions trip the test without flaking on tie-breaks."""
+    from graph_stream_zoomer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        mean_recall_at_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=10).cache()
+    exact.count()
+
+    # multi-table OR-amplification: per-table p^bits → 1-(1-p^bits)^L
+    r_multi = mean_recall_at_k(lsh_topk(emb, q, k=10, bits=4, n_tables=24), exact, 10)
+    assert r_multi >= 0.90, f"multi-table LSH recall@10 regressed: {r_multi:.3f}"
+    r_single = mean_recall_at_k(lsh_topk(emb, q, k=10, bits=4), exact, 10)
+    assert r_multi > r_single + 0.3  # amplification must actually amplify
+    r_ivf = mean_recall_at_k(
+        ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8), exact, 10
+    )
+    assert r_ivf >= 0.60, f"IVF recall@10 regressed: {r_ivf:.3f}"
+    emb.unpersist()
+    exact.unpersist()
+
+
 def test_embedding_near_duplicates(vectors):
     pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_near_duplicates(vectors, 0.99).collect()}
     assert pairs == {(0, 1)}
