@@ -2,13 +2,15 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode/feature/resize kernels are REAL for PPM (P6) images — parsed and
-average-pool-resized with pure numpy, no imaging libs needed — so the whole
-image path runs end-to-end on actual pixels in this container. Lib-bound
-formats (JPEG/PNG decode, audio, video frame seeking) remain declared
-stubs: they raise NotImplementedError unless ``fake=True`` substitutes a
-deterministic payload-derived fake. The Spark-side plumbing — schema, batch
-iteration, partition-preserving projection — is identical for both; a real
-PIL/soundfile/pyav deployment only widens the format dispatch.
+resized with pure numpy — and for baseline JPEG (JFIF), decoded/re-encoded
+by the in-tree T.81 codec (operators/jpeg.py: Annex K tables, Huffman,
+zigzag, 8×8 DCT — no imaging libs), so the image path runs end-to-end on
+actual pixels in this container for the dominant format. Remaining
+lib-bound formats (PNG, progressive JPEG, audio, video frame seeking) are
+declared stubs: they raise NotImplementedError unless ``fake=True``
+substitutes a deterministic payload-derived fake. The Spark-side plumbing —
+schema, batch iteration, partition-preserving projection — is identical for
+both; a real PIL/soundfile/pyav deployment only widens the format dispatch.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-row Python objects; keep
@@ -106,6 +108,16 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool):
             return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
         except ValueError:
             pass
+    if payload is not None and payload.startswith(b"\xff\xd8"):
+        # baseline JPEG — REAL pure-numpy decode (operators/jpeg.py); same
+        # sniff-don't-trust fallthrough as PPM
+        try:
+            from .jpeg import parse_jpeg
+
+            arr = parse_jpeg(payload)
+            return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
+        except ValueError:
+            pass
     if not fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} requires media libs not present in this container"
@@ -181,6 +193,18 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
             rows = (np.arange(height) * h) // height
             cols = (np.arange(width) * w) // width
             return encode_ppm(arr[rows][:, cols])
+    if payload is not None and payload.startswith(b"\xff\xd8"):
+        # baseline JPEG: real decode → nearest-neighbor resize → re-encode
+        try:
+            from .jpeg import encode_jpeg, parse_jpeg
+
+            arr = parse_jpeg(payload)
+            h, w, _ = arr.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_jpeg(arr[rows][:, cols])
+        except ValueError:
+            pass
     if not fake:
         raise NotImplementedError("resize requires image libs not present in this container")
     if payload is None:
