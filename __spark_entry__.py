@@ -895,6 +895,66 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (OR-amplified) LSH top-k — the recall-bearing config
+    (similarity.py lsh_topk n_tables>1). Table t hashes with planes
+    t*bits..t*bits+bits-1; candidates = union over tables, deduped before
+    scoring. The oracle reconstructs all 4 tables' buckets from the same
+    md5 plane derivation and takes DISTINCT colliding pairs."""
+    from graph_stream_zoomer_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 3),
+        k=10,
+        bits=4,
+        reproducible=True,
+        decimals=5,
+        n_tables=4,
+    )
+
+
+_ANN_LSH_MULTI_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+planes AS (
+  SELECT e.vec_id, j.j,
+         SUM(e.x * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(e.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS pdot
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j(j)
+  GROUP BY e.vec_id, j.j
+),
+buckets AS (
+  SELECT vec_id, j // 4 AS tbl,
+         SUM(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE 0 END) AS bkt
+  FROM planes GROUP BY vec_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(SUM(eq.x * en.x) / (nq.nrm * nn.nrm), 5) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e en ON en.vec_id = cand.neighbor_id AND en.i = eq.i
+  JOIN norms nq ON nq.vec_id = cand.query_id
+  JOIN norms nn ON nn.vec_id = cand.neighbor_id
+  GROUP BY 1, 2, nq.nrm, nn.nrm
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 # hyperplane j's i-th component: (('0x'||substr(md5(j:i),1,8))::BIGINT % 2001 - 1000)/1000
 # — identical to the Spark reproducible path (similarity.py hyperplane_bucket)
 _ANN_LSH_SQL = """
@@ -1168,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_multi": q_ann_lsh_topk_multi,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_stats": q_embedding_stats,
         "text_stats": q_text_stats,
@@ -1206,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_lsh_topk_multi": _ANN_LSH_MULTI_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "text_stats": _TEXT_STATS_SQL,
