@@ -56,14 +56,21 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     on_nonconverged: str = "raise",
+    path_halving: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     min node id of its connected component (deterministic, SQL-checkable).
 
     Pure DataFrame min-label propagation: per round, every node pulls the
-    min label over {itself} ∪ neighbors. Converged when no label changed
-    (cheap count on the changed set — runs on the already-checkpointed
-    round result, not a recomputation). Needs O(diameter) rounds.
+    min label over {itself} ∪ neighbors; with ``path_halving`` (default)
+    each round then also follows its own label one hop (L(u) ← L(L(u)),
+    monotone since L(v) ≤ v), so label distance roughly doubles per round —
+    O(log diameter) rounds instead of the O(diameter) of plain
+    propagation, at the price of one extra (labels ⋈ labels) shuffle per
+    round. ``path_halving=False`` keeps the single-shuffle round for
+    near-clique inputs (dup clusters) where diameter ≈ 2 anyway.
+    Converged when no label changed (cheap count on the changed set —
+    runs on the already-checkpointed round result, not a recomputation).
 
     ``checkpoint_dir``: set to a fault-tolerant path (HDFS/S3) on real
     clusters — enables reliable ``df.checkpoint()``; without it (and
@@ -101,17 +108,30 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("_changed"),
-            )
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_prev"),
         )
-        new_labels = _truncate(new_labels, reliable)
+        if path_halving:
+            # L(u) ← L(L(u)): component ids are node ids and every node is
+            # in `labels`, so an inner self-join resolves one hop
+            hop = new_labels.select(
+                F.col("node").alias("component"), F.col("component").alias("_cc")
+            )
+            new_labels = new_labels.join(hop, "component", "left").select(
+                "node",
+                F.coalesce(F.col("_cc"), F.col("component")).alias("component"),
+                "_prev",
+            )
+        new_labels = _truncate(
+            new_labels.withColumn(
+                "_changed", F.col("component") < F.col("_prev")
+            ).drop("_prev"),
+            reliable,
+        )
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -136,13 +156,21 @@ def duplicate_clusters(
     dst: str = "doc_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    path_halving: bool = False,
 ) -> DataFrame:
     """Duplicate clusters from pair edges: one row per component with the
     canonical keeper (min id), member count, and the sorted member list
     (deterministic output — hash-comparable against a recursive-SQL
-    oracle)."""
+    oracle). Dup clusters are near-cliques (diameter ≈ 2), so the default
+    skips path halving's extra per-round join; flip it on for chainy pair
+    sets (see connected_components)."""
     cc = connected_components(
-        pairs, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        pairs,
+        src,
+        dst,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        path_halving=path_halving,
     )
     return (
         cc.groupBy("component")

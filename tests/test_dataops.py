@@ -366,21 +366,32 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components,
     )
 
-    # path 0-1-2-...-9: min label needs 9 rounds to reach the far end
+    # path 0-1-...-199: even with path halving (≈2^r reach per round),
+    # 3 rounds cannot span diameter 199
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
     )
     with pytest.raises(ConvergenceError):
         connected_components(pairs, max_iter=3).collect()
     # warn mode degrades instead of failing
     with pytest.warns(RuntimeWarning):
         connected_components(pairs, max_iter=3, on_nonconverged="warn").collect()
-    # and enough rounds converges to one component
+    # path halving spans the 199-diameter chain well inside 12 rounds —
+    # plain propagation would need 199
     cc = {
         r["node"]: r["component"]
-        for r in connected_components(pairs, max_iter=15).collect()
+        for r in connected_components(pairs, max_iter=12).collect()
     }
     assert set(cc.values()) == {0}
+    # and the single-shuffle mode stays correct on a short chain
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    cc2 = {
+        r["node"]: r["component"]
+        for r in connected_components(short, path_halving=False).collect()
+    }
+    assert set(cc2.values()) == {0}
 
 
 def test_ppm_decode_and_resize_are_real(spark):
