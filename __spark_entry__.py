@@ -148,6 +148,44 @@ FROM v GROUP BY 1, 2
 """
 
 
+def q_graph_group_role_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregate family extension: exact interpolated
+    percentiles (PercentileProperty, operators/aggregation.py) under the
+    same label grouping — p50/p90 per (role, window), plus the approx
+    sketch twin's count sanity. Matches DuckDB quantile_cont; both sides
+    rounded to 6 decimals before hashing."""
+    from graph_stream_zoomer_spark import PercentileProperty
+
+    sv = _grouped_vertices(
+        spark, sf_dir, _cfg(),
+        [":label"],
+        [
+            Count(),
+            PercentileProperty("text_len", 0.5),
+            PercentileProperty("value_c", 0.9),
+        ],
+    )
+    p = F.col("vertex_properties")
+    return sv.select(
+        F.col("vertex_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(p, "count").cast("double").cast("bigint").alias("n"),
+        F.round(F.element_at(p, "p50_text_len").cast("double"), 6).alias("p50_text_len"),
+        F.round(F.element_at(p, "p90_value_c").cast("double"), 6).alias("p90_value_c"),
+    )
+
+
+_ROLE_MEDIAN_SQL = f"""
+WITH {_SQL_T}
+SELECT role AS vertex_label,
+       {_win_end_s('ts')} AS window_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50_text_len,
+       ROUND(quantile_cont(CAST(value_c AS DOUBLE), 0.9), 6) AS p90_value_c
+FROM v GROUP BY 1, 2
+"""
+
+
 def q_graph_group_edge_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _cfg()
     g = events_graph(load_events(spark, sf_dir), cfg)
@@ -1207,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_count_salted": _role_count_query({"salt_buckets": 8}),
         "graph_group_role_count_arrow": _role_count_query({"use_arrow_extraction": True}),
         "graph_group_role_minmax": q_graph_group_role_minmax,
+        "graph_group_role_median": q_graph_group_role_median,
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_top_transitions": q_graph_group_top_transitions,
         "graph_group_window_users": q_graph_group_window_users,
@@ -1246,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_count_salted": _ROLE_COUNT_SQL,
         "graph_group_role_count_arrow": _ROLE_COUNT_SQL,
         "graph_group_role_minmax": _ROLE_MINMAX_SQL,
+        "graph_group_role_median": _ROLE_MEDIAN_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,
         "graph_group_window_users": _WINDOW_USERS_SQL,

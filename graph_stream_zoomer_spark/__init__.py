@@ -11,17 +11,21 @@ DataFrame/Catalyst-first (see SURVEY.md §7 design stance).
 from .config import StreamGraphConfig, WindowConfig, WindowKind
 from .model import StreamGraph, split_triples
 from .operators.aggregation import (
+    ApproxPercentileProperty,
     AvgProperty,
     Count,
     MaxProperty,
     MinProperty,
+    PercentileProperty,
     SumProperty,
 )
 from .operators.grouping import GraphStreamGrouping, GroupingBuilder
 
 __all__ = [
+    "ApproxPercentileProperty",
     "AvgProperty",
     "Count",
+    "PercentileProperty",
     "GraphStreamGrouping",
     "GroupingBuilder",
     "MaxProperty",

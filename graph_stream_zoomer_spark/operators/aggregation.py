@@ -40,6 +40,7 @@ class AggregateFunction:
     kind: str
     property_key: str | None = None
     _output_key: str | None = None
+    param: float | None = None
 
     @property
     def output_key(self) -> str:
@@ -47,6 +48,11 @@ class AggregateFunction:
             return self._output_key
         if self.kind == "count":
             return "count"
+        if self.kind in ("percentile", "approx_percentile"):
+            tag = f"p{int(round(self.param * 100))}"
+            if self.kind == "approx_percentile":
+                tag += "approx"
+            return f"{tag}_{self.property_key}"
         return f"{self.kind}_{self.property_key}"
 
     # -- direct (single-phase) form -------------------------------------
@@ -54,6 +60,14 @@ class AggregateFunction:
         """Aggregate over the promoted property column (already double)."""
         if self.kind == "count":
             return F.count(F.lit(1)).alias(self.output_key)
+        if self.kind == "percentile":
+            return F.percentile(F.col(input_col), F.lit(self.param)).alias(self.output_key)
+        if self.kind == "approx_percentile":
+            # fixed high accuracy: the mergeable-sketch (KLL-style) form for
+            # 100 TB — bounded state per group vs percentile's full buffer
+            return F.approx_percentile(
+                F.col(input_col), F.lit(self.param), F.lit(10000)
+            ).alias(self.output_key)
         fn = getattr(F, self.kind)
         return fn(F.col(input_col)).alias(self.output_key)
 
@@ -67,6 +81,16 @@ class AggregateFunction:
                 F.sum(F.col(input_col)).alias(p + "_sum"),
                 F.count(F.col(input_col)).alias(p + "_cnt"),
             ]
+        if self.kind in ("percentile", "approx_percentile"):
+            # not algebraic: a per-salt partial would need an exposed
+            # mergeable sketch buffer, which Spark SQL does not surface.
+            # Percentiles of a hot key are exactly what salting would have
+            # protected — callers must run them unsalted (the windowed
+            # state already bounds per-key cardinality) or pre-bucket.
+            raise ValueError(
+                f"{self.kind} aggregates are not salt-decomposable; "
+                "use salt_buckets=0 for this grouping"
+            )
         fn = getattr(F, self.kind)
         return [fn(F.col(input_col)).alias(p)]
 
@@ -104,3 +128,22 @@ def SumProperty(key: str) -> AggregateFunction:
 
 def AvgProperty(key: str) -> AggregateFunction:
     return AggregateFunction("avg", key)
+
+
+def PercentileProperty(key: str, p: float = 0.5) -> AggregateFunction:
+    """Exact interpolated percentile (median by default) — beyond-reference
+    aggregate (the reference family stops at avg); matches DuckDB's
+    quantile_cont definition for oracle checks. Exact form buffers the
+    group's values: fine under windowed grouping (state bounded per
+    (window, key)); at 100 TB prefer ApproxPercentileProperty."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile must be in [0, 1], got {p}")
+    return AggregateFunction("percentile", key, param=p)
+
+
+def ApproxPercentileProperty(key: str, p: float = 0.5) -> AggregateFunction:
+    """approx_percentile sketch twin — bounded state per group, mergeable
+    internally by Spark's partial aggregation; the 100 TB form."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile must be in [0, 1], got {p}")
+    return AggregateFunction("approx_percentile", key, param=p)

@@ -436,6 +436,29 @@ def test_ppm_decode_and_resize_are_real(spark):
         assert small[i]["width"] == 4 and small[i]["height"] == 3
 
 
+def test_percentile_aggregates(spark):
+    """Exact percentile matches hand-computed interpolation, the approx
+    sketch lands within tolerance, and the salted decomposition refuses
+    (percentiles are not algebraic)."""
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.aggregation import (
+        ApproxPercentileProperty,
+        PercentileProperty,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4, 10)], "x double")
+    med = PercentileProperty("x", 0.5)
+    p90 = PercentileProperty("x", 0.9)
+    apx = ApproxPercentileProperty("x", 0.5)
+    row = df.agg(med.agg_expr("x"), p90.agg_expr("x"), apx.agg_expr("x")).collect()[0]
+    assert row["p50_x"] == 3.0
+    assert row["p90_x"] == pytest.approx(7.6)  # 4 + 0.6*(10-4)
+    assert abs(row["p50approx_x"] - 3.0) <= 1.0
+    with pytest.raises(ValueError, match="not salt-decomposable"):
+        med.partial_exprs("x")
+
+
 def test_jpeg_decode_and_resize_are_real(spark):
     """Baseline JPEG runs on ACTUAL pixels via the in-tree pure-numpy T.81
     codec (fake=False, no imaging libs): encode→decode round-trips within
