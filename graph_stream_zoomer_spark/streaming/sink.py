@@ -95,18 +95,24 @@ class IdempotentParquetSink:
             part_counts = (
                 flat.groupBy(F.spark_partition_id().alias("pid")).count().collect()
             )
-            flat.write.mode("overwrite").parquet(tmp)
+            n_rows = int(sum(r["count"] for r in part_counts))
+            if n_rows:
+                flat.write.mode("overwrite").parquet(tmp)
         finally:
             flat.unpersist()
-        if os.path.exists(target):  # crashed after write, before commit log
-            import shutil
+        if n_rows:
+            if os.path.exists(target):  # crashed after write, before commit log
+                import shutil
 
-            shutil.rmtree(target)
-        os.replace(tmp, target)
+                shutil.rmtree(target)
+            os.replace(tmp, target)
+        # empty batches (e.g. the first availableNow batch, where the
+        # watermark has not yet closed any window) are committed in the log
+        # but skip the no-op parquet job — read() tolerates the missing dir
         self._record_commit(batch_id)
         rec = {
             "batch_id": batch_id,
-            "rows": int(sum(r["count"] for r in part_counts)),
+            "rows": n_rows,
             "partitions": {int(r["pid"]): int(r["count"]) for r in part_counts},
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.time(),
@@ -117,9 +123,13 @@ class IdempotentParquetSink:
 
     def read(self, spark: SparkSession) -> DataFrame:
         committed = self._committed()
-        if not committed:
+        paths = [
+            p
+            for b in sorted(committed)
+            if os.path.exists(p := os.path.join(self.data_dir, f"batch_id={b}"))
+        ]  # empty batches commit without a data dir
+        if not paths:
             return None
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in sorted(committed)]
         return spark.read.parquet(*paths)
 
 

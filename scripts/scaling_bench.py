@@ -40,7 +40,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_CONVS_BATCH = int(os.environ.get("GSZ_SCALE_BATCH_CONVS", "1000000"))
-N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "480000"))
+# Stream input sized so the drain is compute-dominated: the per-drain fixed
+# costs (query startup, planning, offset/WAL commits, the window-close
+# no-data batch's state machinery) are the non-scaling floor that caps the
+# small-input efficiency ratio — r02's probe put them at ~1/3 of an 8-core
+# drain at 480k convs. Doubling the input halves their share, which is also
+# the honest direction: the north rule describes a 10^12-turn regime where
+# they vanish entirely.
+N_CONVS_STREAM = int(os.environ.get("GSZ_SCALE_STREAM_CONVS", "960000"))
 LEVELS = (2, 8)  # the N vs 4N evidence pair (pinned cores)
 APPENDIX_LEVEL = 32  # saturation row (above the VM's real concurrency)
 TRIALS = 1  # measured runs per level visit AFTER the dropped JIT-cold trial
@@ -134,6 +141,11 @@ def worker(cpus: int, input_dir: str) -> None:
     # cluster (∝ executor count in production); the strong-scaling protocol
     # fixes it across levels so both levels run the identical plan. 8 = the
     # large level's core count (1 task wave at 8 cores, 4 waves at 2).
+    # Scaling it with cores (2 at 2 cores) was considered and rejected: the
+    # per-partition state cycle parallelizes perfectly (4 waves at 2 cores
+    # IS the 4x work a quarter of the cores should do), so shrinking the
+    # small level's partition count just hands it a cheaper plan and turns
+    # the ratio into a config comparison instead of a scaling measurement.
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     stream_times = []
     for _i in range(TRIALS + 1):  # extra trial: first is JIT-cold
@@ -405,7 +417,29 @@ runs and the plan-side partition-linearity evidence above is what
 transfers to a real multi-executor N->4N scale-out, where each executor
 brings its own cores, memory bandwidth, and shuffle disk.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # carry over manually-maintained sections (round-over-round table, ANN
+    # recall, ad-hoc appendices) — any "## " section the template does not
+    # itself produce survives protocol reruns
+    template_headers = (
+        "## Flagship:",
+        "## Streaming job",
+        "## Appendix: saturation",
+        "## Measurement variance",
+    )
+    bench_path = os.path.join(REPO, "BENCH.md")
+    extra: list[str] = []
+    if os.path.exists(bench_path):
+        keep = False
+        for line in open(bench_path):
+            if line.startswith("## "):
+                keep = not line.startswith(template_headers)
+            elif line.startswith("# "):
+                keep = False
+            if keep:
+                extra.append(line)
+    if extra:
+        md += "\n" + "".join(extra).strip() + "\n"
+    with open(bench_path, "w") as f:
         f.write(md)
     print(md)
 
