@@ -152,9 +152,9 @@ def q_graph_group_role_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregate family extension: exact interpolated
     percentiles (PercentileProperty, operators/aggregation.py) under the
     same label grouping — p50/p90 per (role, window), plus the approx
-    sketch twin's count sanity. Matches DuckDB quantile_cont; both sides
-    rounded to 6 decimals before hashing."""
-    from graph_stream_zoomer_spark import PercentileProperty
+    sketch twin's count sanity. Matches DuckDB quantile_cont /
+    stddev_samp; both sides rounded to 6 decimals before hashing."""
+    from graph_stream_zoomer_spark import PercentileProperty, StddevProperty
 
     sv = _grouped_vertices(
         spark, sf_dir, _cfg(),
@@ -163,6 +163,7 @@ def q_graph_group_role_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             Count(),
             PercentileProperty("text_len", 0.5),
             PercentileProperty("value_c", 0.9),
+            StddevProperty("text_len"),
         ],
     )
     p = F.col("vertex_properties")
@@ -172,6 +173,7 @@ def q_graph_group_role_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(p, "count").cast("double").cast("bigint").alias("n"),
         F.round(F.element_at(p, "p50_text_len").cast("double"), 6).alias("p50_text_len"),
         F.round(F.element_at(p, "p90_value_c").cast("double"), 6).alias("p90_value_c"),
+        F.round(F.element_at(p, "stddev_text_len").cast("double"), 6).alias("sd_text_len"),
     )
 
 
@@ -181,7 +183,8 @@ SELECT role AS vertex_label,
        {_win_end_s('ts')} AS window_end_s,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50_text_len,
-       ROUND(quantile_cont(CAST(value_c AS DOUBLE), 0.9), 6) AS p90_value_c
+       ROUND(quantile_cont(CAST(value_c AS DOUBLE), 0.9), 6) AS p90_value_c,
+       ROUND(stddev_samp(CAST(length(text) AS DOUBLE)), 6) AS sd_text_len
 FROM v GROUP BY 1, 2
 """
 
@@ -589,6 +592,33 @@ SELECT CASE WHEN bucket < 5 THEN 'val'
             ELSE 'train' END AS split,
        source, COUNT(*) AS n_docs
 FROM b GROUP BY 1, 2
+"""
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsample (operators/packing.py
+    deterministic_sample): 5 docs per (lang, source) stratum ranked by
+    md5(doc_id) — engine-portable pseudo-random order, one window exchange
+    on the stratum key, no global sort. The oracle replays the identical
+    ranking."""
+    from graph_stream_zoomer_spark.operators.packing import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir), k=5, key_col="doc_id", group_cols=["lang", "source"]
+    ).select("lang", "source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+_DOC_SAMPLE_SQL = """
+SELECT lang, source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 5
 """
 
 
@@ -1275,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "pack_sequences": q_pack_sequences,
         "text_split_counts": q_text_split_counts,
+        "doc_sample": q_doc_sample,
         "media_digests": q_media_digests,
     }
 
@@ -1315,5 +1346,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FP_SQL,
         "pack_sequences": _PACK_SQL,
         "text_split_counts": _SPLIT_SQL,
+        "doc_sample": _DOC_SAMPLE_SQL,
         "media_digests": _MEDIA_SQL,
     }

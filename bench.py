@@ -108,6 +108,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "graph_group_role_count",
         "graph_group_role_count_salted",
         "graph_group_role_minmax",
+        "graph_group_role_median",
         "graph_group_window_users",
         "graph_group_edge_transition",
         "graph_group_sliding",

@@ -17,6 +17,7 @@ from .operators.aggregation import (
     MaxProperty,
     MinProperty,
     PercentileProperty,
+    StddevProperty,
     SumProperty,
 )
 from .operators.grouping import GraphStreamGrouping, GroupingBuilder
@@ -26,6 +27,7 @@ __all__ = [
     "AvgProperty",
     "Count",
     "PercentileProperty",
+    "StddevProperty",
     "GraphStreamGrouping",
     "GroupingBuilder",
     "MaxProperty",

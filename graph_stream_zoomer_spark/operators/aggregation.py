@@ -60,6 +60,8 @@ class AggregateFunction:
         """Aggregate over the promoted property column (already double)."""
         if self.kind == "count":
             return F.count(F.lit(1)).alias(self.output_key)
+        if self.kind == "stddev":
+            return F.stddev_samp(F.col(input_col)).alias(self.output_key)
         if self.kind == "percentile":
             return F.percentile(F.col(input_col), F.lit(self.param)).alias(self.output_key)
         if self.kind == "approx_percentile":
@@ -81,6 +83,13 @@ class AggregateFunction:
                 F.sum(F.col(input_col)).alias(p + "_sum"),
                 F.count(F.col(input_col)).alias(p + "_cnt"),
             ]
+        if self.kind == "stddev":
+            # algebraic: (n, Σx, Σx²) partials merge exactly
+            return [
+                F.count(F.col(input_col)).alias(p + "_cnt"),
+                F.sum(F.col(input_col)).alias(p + "_sum"),
+                F.sum(F.col(input_col) * F.col(input_col)).alias(p + "_sq"),
+            ]
         if self.kind in ("percentile", "approx_percentile"):
             # not algebraic: a per-salt partial would need an exposed
             # mergeable sketch buffer, which Spark SQL does not surface.
@@ -100,6 +109,14 @@ class AggregateFunction:
             return F.sum(F.col(p)).alias(self.output_key)
         if self.kind == "avg":
             return (F.sum(F.col(p + "_sum")) / F.sum(F.col(p + "_cnt"))).alias(self.output_key)
+        if self.kind == "stddev":
+            n = F.sum(F.col(p + "_cnt"))
+            s = F.sum(F.col(p + "_sum"))
+            sq = F.sum(F.col(p + "_sq"))
+            # sample variance from merged moments; NULL for n < 2 like
+            # stddev_samp; greatest(0, ·) guards float cancellation
+            var = F.greatest(F.lit(0.0), (sq - s * s / n) / (n - 1))
+            return F.when(n >= 2, F.sqrt(var)).alias(self.output_key)
         if self.kind == "sum":
             return F.sum(F.col(p)).alias(self.output_key)
         fn = getattr(F, self.kind)
@@ -128,6 +145,13 @@ def SumProperty(key: str) -> AggregateFunction:
 
 def AvgProperty(key: str) -> AggregateFunction:
     return AggregateFunction("avg", key)
+
+
+def StddevProperty(key: str) -> AggregateFunction:
+    """Sample standard deviation — beyond-reference aggregate, fully
+    algebraic ((n, Σx, Σx²) partials), so it participates in the salted
+    two-phase aggregation unlike the percentile family."""
+    return AggregateFunction("stddev", key)
 
 
 def PercentileProperty(key: str, p: float = 0.5) -> AggregateFunction:

@@ -74,3 +74,37 @@ def assign_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-per-group subsample: rank rows inside each group by
+    md5(key) (a uniform, engine-portable pseudo-random order — the same
+    trick assign_split uses) and keep the first ``k``.
+
+    The reproducible alternative to ``df.sample``: re-running, re-ordering
+    input files, or porting to another engine yields the SAME sample, which
+    is what a training-data pipeline needs for auditability. With
+    ``group_cols`` (e.g. language, source) it is stratified sampling: one
+    window exchange on the group key, no global sort; without, a single
+    partition-free rank is avoided by ranking within a constant group —
+    callers sampling globally at 100 TB should pass group_cols (stratify)
+    or pre-filter, since a global top-k by hash is a TakeOrderedAndProject
+    at heart and k rows must fit the driver.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    order = F.md5(F.col(key_col).cast("string"))
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(order, F.col(key_col))
+        ranked = df.withColumn(rank_col, F.row_number().over(w))
+        return ranked.where(F.col(rank_col) <= k)
+    # global: hash-order the whole frame; Catalyst plans the filter+sort as
+    # a distributed top-k (TakeOrderedAndProject) when an action limits it
+    w = Window.orderBy(order, F.col(key_col))
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 from ..sources.transcripts import _turn_props
 
 
+def _slim(turns: DataFrame) -> DataFrame:
+    """Project the turn stream down to what the summaries actually consume
+    BEFORE any stateful operator: the raw ``text`` payload dominates row
+    bytes but only its length survives into the properties, so carrying it
+    into the stream-stream join would multiply state-store volume (every
+    buffered row is serialized to the state store per micro-batch) by the
+    payload size. Pushdown here is worth more than any knob downstream —
+    state I/O is the streaming job's scaling ceiling on shared disks."""
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.length("text").cast("int").alias("text_len"),
+    )
+
+
 def _joined_successors(turns: DataFrame, watermark: str, max_turn_gap: str) -> DataFrame:
     a = turns.withWatermark("ts", watermark).alias("a")
     b = turns.withWatermark("ts", watermark).alias("b")
@@ -46,15 +64,14 @@ def streaming_transcript_triples(
     max_turn_gap: str = "1 hour",
     use_arrow: bool = False,
 ) -> DataFrame:
-    joined = _joined_successors(turns, watermark, max_turn_gap)
+    joined = _joined_successors(_slim(turns), watermark, max_turn_gap)
 
     def props(side: str):
-        text_c = F.col(f"{side}.text")
         return F.map_from_arrays(
             F.array(F.lit("tool"), F.lit("text_len"), F.lit("hour_bucket")),
             F.array(
                 F.col(f"{side}.tool"),
-                F.length(text_c).cast("string"),
+                F.col(f"{side}.text_len").cast("string"),
                 F.date_format(F.col(f"{side}.ts"), "yyyy-MM-dd HH"),
             ),
         )
@@ -72,7 +89,7 @@ def streaming_transcript_triples(
             F.array(F.lit("tool"), F.lit("text_len"), F.lit("hour_bucket"), F.lit("transition")),
             F.array(
                 F.col("b.tool"),
-                F.length(F.col("b.text")).cast("string"),
+                F.col("b.text_len").cast("string"),
                 F.date_format(F.col("b.ts"), "yyyy-MM-dd HH"),
                 F.concat_ws("->", F.col("a.role"), F.col("b.role")),
             ),
@@ -132,18 +149,19 @@ def streaming_vertex_observations(
                 F.array(F.lit("tool"), F.lit("text_len"), F.lit("hour_bucket")),
                 F.array(
                     F.col(f"{prefix}tool"),
-                    F.length(F.col(f"{prefix}text")).cast("string"),
+                    F.col(f"{prefix}text_len").cast("string"),
                     F.date_format(F.col(f"{prefix}ts"), "yyyy-MM-dd HH"),
                 ),
             ).alias("vertex_properties"),
         )
 
+    slim = _slim(turns)
     rest = vertex_proj(
-        turns.withWatermark("ts", watermark).where(F.col("turn_idx") >= 1)
+        slim.withWatermark("ts", watermark).where(F.col("turn_idx") >= 1)
     )
-    t0 = turns.withWatermark("ts", watermark).where(F.col("turn_idx") == 0).alias("a")
+    t0 = slim.withWatermark("ts", watermark).where(F.col("turn_idx") == 0).alias("a")
     t1 = (
-        turns.withWatermark("ts", watermark)
+        slim.withWatermark("ts", watermark)
         .where(F.col("turn_idx") == 1)
         .select(F.col("conv_id").alias("_c1"), F.col("ts").alias("_ts1"))
         .alias("b")

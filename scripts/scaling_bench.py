@@ -120,17 +120,22 @@ def worker(cpus: int, input_dir: str) -> None:
     )
 
     # ---- batch flagship (TRIALS runs, JIT-warm) --------------------------
+    # the appendix (saturation) level reports a single trial — it is
+    # informational, sits above the VM's real concurrency anyway, and the
+    # evidence pair must not wait on it
+    n_runs = TRIALS + 1 if cpus < APPENDIX_LEVEL else 1
+
     t = generate_transcripts(spark, N_CONVS_BATCH, num_partitions=64)
     n_turns = t.count()
     _ = transcript_graph(t.limit(1000), cfg, use_arrow=False).apply(op).vertices.count()  # warm
     batch_times = []
-    for _i in range(TRIALS + 1):  # extra trial: the first is JIT-cold
+    for _i in range(n_runs):  # extra trial: the first is JIT-cold
         t0 = time.time()
         out = transcript_graph(t, cfg, use_arrow=False).apply(op)
         _rows = out.vertices.count() + out.edges.count()
         batch_times.append(time.time() - t0)
     # min of the warm trials: transient host slowdowns only ever ADD time
-    batch_s = min(batch_times[1:])
+    batch_s = min(batch_times[1:] or batch_times)
 
     # ---- streaming job (fresh checkpoint per trial) ----------------------
     stream_path = os.path.join(input_dir, "turns")
@@ -148,13 +153,13 @@ def worker(cpus: int, input_dir: str) -> None:
     # the ratio into a config comparison instead of a scaling measurement.
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     stream_times = []
-    for _i in range(TRIALS + 1):  # extra trial: first is JIT-cold
+    for _i in range(n_runs):  # extra trial: first is JIT-cold
         out_root = tempfile.mkdtemp(prefix=f"gsz_scale_{cpus}_")
         t0 = time.time()
         run_grouping_job(spark, read_transcript_stream(spark, stream_path), op, out_root)
         stream_times.append(time.time() - t0)
         shutil.rmtree(out_root, ignore_errors=True)
-    stream_s = min(stream_times[1:])
+    stream_s = min(stream_times[1:] or stream_times)
 
     print(
         "WORKER_RESULT "

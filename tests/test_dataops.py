@@ -436,6 +436,34 @@ def test_ppm_decode_and_resize_are_real(spark):
         assert small[i]["width"] == 4 and small[i]["height"] == 3
 
 
+def test_deterministic_sample(spark):
+    """k-per-group subsample is stable across reruns and input order, keeps
+    exactly min(k, group size) rows per stratum, and ranks by md5(key)."""
+    from graph_stream_zoomer_spark.operators.packing import deterministic_sample
+
+    rows = [(i, "en" if i % 3 else "de", f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    s1 = deterministic_sample(df, k=4, key_col="doc_id", group_cols=["lang", "source"])
+    got = sorted((r["lang"], r["source"], r["doc_id"]) for r in s1.collect())
+    # stable under re-execution and input reordering
+    s2 = deterministic_sample(
+        df.orderBy(F.desc("doc_id")), k=4, key_col="doc_id", group_cols=["lang", "source"]
+    )
+    assert got == sorted((r["lang"], r["source"], r["doc_id"]) for r in s2.collect())
+    from collections import Counter
+
+    per_group = Counter((lang, src) for lang, src, _ in got)
+    sizes = Counter((lang, src) for _, lang, src in rows)
+    assert per_group == {g: min(4, n) for g, n in sizes.items()}
+    # global (ungrouped) form
+    g1 = {r["doc_id"] for r in deterministic_sample(df, k=7, key_col="doc_id").collect()}
+    assert len(g1) == 7
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, k=0, key_col="doc_id")
+
+
 def test_percentile_aggregates(spark):
     """Exact percentile matches hand-computed interpolation, the approx
     sketch lands within tolerance, and the salted decomposition refuses
@@ -457,6 +485,35 @@ def test_percentile_aggregates(spark):
     assert abs(row["p50approx_x"] - 3.0) <= 1.0
     with pytest.raises(ValueError, match="not salt-decomposable"):
         med.partial_exprs("x")
+
+
+def test_stddev_aggregate_direct_and_salted_merge(spark):
+    """StddevProperty: direct form equals stddev_samp; the (n, Σx, Σx²)
+    partial/merge decomposition reproduces it exactly across salt buckets,
+    and n<2 merges to NULL like stddev_samp."""
+    import statistics
+
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.aggregation import StddevProperty
+    from pyspark.sql import functions as SF
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0, 7.5]
+    df = spark.createDataFrame([(v, i % 3) for i, v in enumerate(vals)], "x double, salt int")
+    sd = StddevProperty("x")
+    direct = df.agg(sd.agg_expr("x")).collect()[0]["stddev_x"]
+    assert direct == pytest.approx(statistics.stdev(vals))
+    merged = (
+        df.groupBy("salt")
+        .agg(*sd.partial_exprs("x"))
+        .agg(sd.merge_expr())
+        .collect()[0]["stddev_x"]
+    )
+    assert merged == pytest.approx(direct)
+    one = spark.createDataFrame([(5.0, 0)], "x double, salt int")
+    m1 = one.groupBy("salt").agg(*sd.partial_exprs("x")).agg(sd.merge_expr()).collect()[0]
+    assert m1["stddev_x"] is None
+    assert one.agg(sd.agg_expr("x")).collect()[0]["stddev_x"] is None
 
 
 def test_jpeg_decode_and_resize_are_real(spark):
