@@ -159,6 +159,12 @@ def worker(cpus: int, input_dir: str) -> None:
         run_grouping_job(spark, read_transcript_stream(spark, stream_path), op, out_root)
         stream_times.append(time.time() - t0)
         shutil.rmtree(out_root, ignore_errors=True)
+        # unload cached state-store providers: a finished query's maps stay
+        # in the provider cache until maintenance, so the NEXT trial pays
+        # the previous trial's multi-GB state as GC pressure (measured:
+        # warm trials 40% slower than cold at 8 cores without this; clean
+        # with it). Production never sees this — each job is its own JVM.
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     stream_s = min(stream_times[1:] or stream_times)
 
     print(
