@@ -62,6 +62,7 @@ def run_grouping_job(
     available_now: bool = True,
     max_turn_gap: str = "1 hour",
     unified: bool = False,
+    state_store: str | None = None,
 ) -> StreamingJobResult:
     """Launch the grouping job; with available_now=True blocks until the
     current input is drained (the test/backfill mode — production uses
@@ -78,9 +79,31 @@ def run_grouping_job(
     default keeps the two-query shape for its operational properties
     (independent checkpoints, one stream restartable without the other);
     prefer unified on a core-constrained deployment.
+
+    ``state_store``: ``"rocksdb"`` switches the state backend to Spark's
+    bundled RocksDBStateStoreProvider — off-heap, spill-to-disk, changelog
+    checkpointing; the production choice once join/agg state outgrows
+    executor heap (the 10^12-turn regime — the default HDFS-backed store
+    keeps every state row as JVM objects on-heap). ``"hdfs"`` forces the
+    default; None leaves the session setting untouched. Applied via
+    session conf, so it must be set before the FIRST start against a
+    checkpoint; the provider class is recorded in the checkpoint and
+    cannot change across restarts.
     """
     cfg: StreamGraphConfig = op.config
     wm = cfg.watermark_delay
+    if state_store is not None:
+        providers = {
+            "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+            "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        }
+        if state_store not in providers:
+            raise ValueError(f"state_store must be one of {sorted(providers)} or None")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", providers[state_store]
+        )
 
     triples = streaming_transcript_triples(turns, watermark=wm, max_turn_gap=max_turn_gap)
     vertices = streaming_vertex_observations(turns, watermark=wm, max_turn_gap=max_turn_gap)

@@ -199,3 +199,27 @@ def test_unified_query_matches_batch(spark, tmp_path, turns_dir):
     exp_sv, exp_se = _batch_expected(spark, turns)
     assert _collect_sink(spark, result.vertex_sink, "vertex_label") == exp_sv
     assert _collect_sink(spark, result.edge_sink, "edge_label") == exp_se
+
+
+def test_rocksdb_state_store_matches_batch(spark, tmp_path, turns_dir):
+    """state_store='rocksdb' (Spark's bundled RocksDBStateStoreProvider —
+    the off-heap production backend for state that outgrows executor heap)
+    emits exactly the batch rows; conf is restored afterwards so the shared
+    session's other tests keep the default provider."""
+    d, turns = turns_dir
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    try:
+        stream = read_transcript_stream(spark, d)
+        result = run_grouping_job(
+            spark, stream, _op(), str(tmp_path / "out_rocks"), state_store="rocksdb"
+        )
+        assert "RocksDB" in spark.conf.get(key)
+        exp_sv, exp_se = _batch_expected(spark, turns)
+        assert _collect_sink(spark, result.vertex_sink, "vertex_label") == exp_sv
+        assert _collect_sink(spark, result.edge_sink, "edge_label") == exp_se
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
