@@ -164,3 +164,20 @@ def test_salted_agg_two_phase_shape(spark):
     out = transcript_graph(t, cfg, use_arrow=False).apply(_op(cfg))
     txt = plan_stats(out.vertices).text
     assert txt.count("HashAggregate") >= 4  # (partial+final) × (salted, merge)
+
+
+def test_streaming_join_state_carries_no_text_payload(spark):
+    """State-byte pushdown pin: the successor join's buffered rows must
+    carry text_len, never the raw text payload (~75% of row bytes; state
+    volume was the streaming job's scaling ceiling — BENCH.md 'Streaming
+    state volume'). Catalyst does not column-prune through state stores,
+    so the projection must sit below the join by construction."""
+    from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts
+    from graph_stream_zoomer_spark.streaming.binding import _joined_successors, _slim
+
+    turns = generate_transcripts(spark, 5)
+    slim_cols = set(_slim(turns).columns)
+    assert "text" not in slim_cols and "text_len" in slim_cols
+    joined = _joined_successors(_slim(turns), "10 seconds", "1 hour")
+    buffered = {f.name for f in joined.schema.fields}
+    assert "text" not in buffered, "raw text payload reached the join state"
