@@ -97,3 +97,65 @@ def read_transcript_kafka_stream(
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     return parse_transcript_records(reader.load(), keep_metadata=keep_metadata)
+
+
+def summary_records(
+    summaries: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Summary rows → Kafka producer records (the sink-side twin of
+    ``parse_transcript_records``): ``key`` = the concatenated key columns
+    (defaults to the exactly-once sink key (window_start, super id) when
+    present), ``value`` = the full row as JSON. Keying by the sink key
+    gives per-key ordering within a Kafka partition AND makes downstream
+    log-compaction keep exactly the latest version of each summary — the
+    Kafka-native form of the idempotent (window, group-key) upsert.
+
+    Pure projection, unit-testable without jars."""
+    cols = summaries.columns
+    if key_cols is None:
+        key_cols = [
+            c
+            for c in ("window_start", "super_vertex_id", "super_edge_id")
+            if c in cols
+        ]
+        if not key_cols:
+            raise ValueError(
+                "no default key columns found; pass key_cols explicitly"
+            )
+    missing = [c for c in key_cols if c not in cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in {cols}")
+    return summaries.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        .cast("binary")
+        .alias("key"),
+        F.to_json(F.struct(*cols)).cast("binary").alias("value"),
+    )
+
+
+def write_summary_kafka_stream(
+    summaries: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str] | None = None,
+    available_now: bool = False,
+):
+    """``writeStream.format("kafka")`` of the summary stream — the sink-side
+    connector (jar-gated like the source; production only). Exactly-once
+    note: the Kafka sink is at-least-once (no transactional producer in
+    Spark's sink); the compacted-key layout from ``summary_records`` makes
+    re-delivered summaries harmless to log-compacted consumers, and strict
+    exactly-once deployments keep the Iceberg MERGE sink instead."""
+    w = (
+        summary_records(summaries, key_cols=key_cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

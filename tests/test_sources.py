@@ -139,3 +139,30 @@ def test_kafka_value_parsing_projection(spark):
     kept = parse_transcript_records(records, keep_metadata=True, drop_corrupt=False)
     bad = [r for r in kept.collect() if r._corrupt]
     assert {(r.partition, r.offset) for r in bad} == {(1, 0), (1, 1)}
+
+
+def test_kafka_summary_records_projection(spark):
+    """Sink-side twin: summary rows → (key, value) producer records; the
+    key defaults to the exactly-once sink key, the value round-trips the
+    whole row through JSON."""
+    import json as _json
+
+    import pytest
+
+    from graph_stream_zoomer_spark.sources.kafka import summary_records
+
+    rows = [("2025-01-01 00:00:00", "sv1", "user", 3), ("2025-01-01 00:10:00", "sv2", "tool", 1)]
+    df = spark.createDataFrame(
+        rows, "window_start string, super_vertex_id string, vertex_label string, count long"
+    )
+    recs = summary_records(df).collect()
+    keys = {bytes(r["key"]).decode() for r in recs}
+    assert keys == {"2025-01-01 00:00:00|sv1", "2025-01-01 00:10:00|sv2"}
+    vals = [_json.loads(bytes(r["value"])) for r in recs]
+    assert {v["vertex_label"] for v in vals} == {"user", "tool"}
+    assert all(set(v) == {"window_start", "super_vertex_id", "vertex_label", "count"} for v in vals)
+    # explicit keys validated; absent defaults raise
+    with pytest.raises(ValueError, match="not in"):
+        summary_records(df, key_cols=["nope"])
+    with pytest.raises(ValueError, match="no default key"):
+        summary_records(df.select("vertex_label", "count"))
