@@ -663,6 +663,102 @@ WHERE end_ts <= start_ts + INTERVAL 30 DAY
 """
 
 
+def q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (operators/asof.py): each purchase turn matched
+    to the latest click at-or-before it in the same user timeline — the
+    merge-sort one-exchange formulation, oracle = DuckDB's native ASOF
+    LEFT JOIN. The right side is pre-aggregated to one row per
+    (conv_id, ts) so tie semantics are engine-independent."""
+    from graph_stream_zoomer_spark.operators.asof import asof_join
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    left = t.where(F.col("role") == "purchase").select("conv_id", "turn_idx", "ts")
+    right = (
+        t.where(F.col("role") == "click")
+        .groupBy("conv_id", "ts")
+        .agg(F.max("turn_idx").alias("click_turn"))
+    )
+    return asof_join(left, right, on="conv_id", left_ts="ts", right_ts="ts")
+
+
+_ASOF_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, ts
+  FROM events
+),
+l AS (SELECT conv_id, turn_idx, ts FROM t WHERE role = 'purchase'),
+r AS (SELECT conv_id, ts, MAX(turn_idx) AS click_turn FROM t WHERE role = 'click' GROUP BY 1, 2)
+SELECT l.conv_id, l.turn_idx, l.ts, r.ts AS asof_ts, r.click_turn AS asof_click_turn
+FROM l ASOF LEFT JOIN r ON l.conv_id = r.conv_id AND r.ts <= l.ts
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 20th doc
+    plays the eval set; remaining corpus docs are scored by how many of
+    their distinct word 3-grams appear in the eval set (broadcast of the
+    tiny benchmark gram set — no corpus-sized gram shuffle)."""
+    from graph_stream_zoomer_spark.operators.decontam import benchmark_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    out = benchmark_overlap(corpus, bench, n=3)
+    return out.select(
+        "doc_id",
+        "n_hit",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "overlap_ratio",
+    )
+
+
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/quality.py):
+    duplicate-word / top-word / duplicate-bigram fractions per document in
+    one exchange."""
+    from graph_stream_zoomer_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = """
+WITH w0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM w0)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+         MAX(c) AS top_c
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CAST(len(words) - 1 AS BIGINT) AS n2,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i + 1]))) AS BIGINT) AS n2d
+  FROM w0 WHERE len(words) >= 2
+)
+SELECT a.doc_id, a.n_words, a.n_distinct_words,
+       ROUND(1 - CAST(a.n_distinct_words AS DOUBLE) / a.n_words, 6) AS dup_word_frac,
+       ROUND(CAST(a.top_c AS DOUBLE) / a.n_words, 6) AS top_word_frac,
+       COALESCE(ROUND(1 - CAST(b.n2d AS DOUBLE) / b.n2, 6), 0.0) AS dup_2gram_frac
+FROM agg a LEFT JOIN bg b USING (doc_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -708,6 +804,22 @@ sh AS (
   FROM w1
 )
 """
+
+
+_DECONTAM_SQL = f"""
+WITH {_SQL_SHINGLES},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corpus GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM corpus c JOIN bench b USING (sh) GROUP BY 1
+)
+SELECT h.doc_id, h.n_hit, s.n_grams,
+       ROUND(CAST(h.n_hit AS DOUBLE) / s.n_grams, 6) AS overlap_ratio
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triples_join": q_graph_triples_join,
         "cep_sequence_match": q_cep_sequence_match,
         "cep_followed_by": q_cep_followed_by,
+        "asof_click": q_asof_click,
+        "decontam_overlap": q_decontam_overlap,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1328,6 +1443,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_triples_join": _TRIPLES_JOIN_SQL,
         "cep_sequence_match": _CEP_SQL,
         "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
+        "asof_click": _ASOF_SQL,
+        "decontam_overlap": _DECONTAM_SQL,
+        "text_repetition": _REPETITION_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
