@@ -119,6 +119,9 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_fingerprint",
         "dedup_clusters",
         "pack_sequences",
+        "asof_click",
+        "decontam_overlap",
+        "text_repetition",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import _spread, word_shingles
 
 
 def benchmark_ngrams(
@@ -30,7 +30,8 @@ def benchmark_ngrams(
     """Distinct word n-grams of the benchmark set — the broadcast side.
     One column ``gram``; callers typically persist this tiny frame."""
     return (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        _spread(benchmark)
+        .select(F.explode(word_shingles(text_col, n)).alias("gram"))
         .distinct()
     )
 
@@ -57,7 +58,7 @@ def benchmark_overlap(
     operators and the oracle SQL.
     """
     bench = benchmark_ngrams(benchmark, n, bench_text_col or text_col)
-    grams = docs.select(
+    grams = _spread(docs).select(
         F.col(id_col),
         word_shingles(text_col, n).alias("__grams"),
     ).select(

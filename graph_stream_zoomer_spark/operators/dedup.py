@@ -57,14 +57,26 @@ def normalized_text(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text.
 
-    Each shingle is built from ``n`` O(1) array lookups (``F.get`` is
-    null-safe out of bounds; ``concat_ws`` drops the nulls at the tail) —
-    NOT ``F.slice``, which copies and makes shingling O(words²) per doc.
+    Built as ``arrays_zip`` of ``n`` shifted ``slice``s of the token array
+    + one ``transform`` over the zipped structs: the token array (and the
+    regex normalization feeding it) is evaluated O(n) times per ROW.
+    The earlier per-index formulation (``transform(sequence(...), i ->
+    concat_ws(get(toks, i), ...))``) re-evaluated the full
+    regex+split chain inside every ``F.get`` — higher-order-function
+    lambdas are interpreted with no common-subexpression elimination, so
+    shingling cost was O(n·words) normalizations per doc (~10× slower
+    end-to-end, measured at sf0.1). Tail shingles shorter than ``n``
+    (docs with < n words) come out identically: slices past the end are
+    empty, ``arrays_zip`` null-pads, ``concat_ws`` drops the nulls.
     """
     c = normalized_text(col)
     toks = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]))
+    length = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    parts = [F.slice(toks, k + 1, length) for k in range(n)]
+    sh = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
+    )
     return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
 
 

@@ -52,13 +52,16 @@ def _staged(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per document: CollapseProject refuses to merge projections whose
     non-cheap outputs are referenced more than once downstream.
     """
-    w0 = docs.select(F.col(id_col), _words(text_col).alias("__w"))
-    # Shuffle the COMPACT docs (pre-explode) on doc_id: HashPartitioning
+    # Shuffle the COMPACT raw docs on doc_id FIRST: HashPartitioning
     # (doc_id) satisfies ClusteredDistribution for BOTH downstream
     # aggregates — (doc_id, word) by the subset rule and (doc_id) exactly —
     # so the whole signal computation runs in one exchange of un-exploded
-    # rows instead of two exchanges of exploded words.
-    w0 = w0.repartition(F.col(id_col))
+    # rows instead of two exchanges of exploded words. Repartitioning
+    # before the tokenization also spreads the regex/split work across
+    # cores when the corpus arrives as a handful of parquet files.
+    w0 = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), _words(text_col).alias("__w")
+    )
     w1 = w0.select(id_col, "__w", _raw_2grams(F.col("__w")).alias("__g2"))
     return w1.select(
         F.col(id_col),
