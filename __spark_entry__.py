@@ -759,6 +759,117 @@ FROM agg a LEFT JOIN bg b USING (doc_id)
 """
 
 
+_QUERY_TERMS = ["merge", "spark", "window"]
+
+_SQL_TOKS = """
+tw AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tw)
+"""
+
+
+def q_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming first-occurrence dedup
+    (streaming/dedup.py): earliest row per normalized-text fingerprint
+    (doc_id tiebreak), one window exchange."""
+    from graph_stream_zoomer_spark.streaming.dedup import first_occurrence
+
+    return first_occurrence(_docs(spark, sf_dir), ts_col=None).select(
+        "doc_id", "lang", "source", "fingerprint"
+    )
+
+
+_FIRST_OCC_SQL = """
+SELECT doc_id, lang, source, fingerprint
+FROM (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a 3-term query
+    (operators/relevance.py): postings exchange carries only query-term
+    rows, df/N/avgdl broadcast."""
+    from graph_stream_zoomer_spark.operators.relevance import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _QUERY_TERMS)
+
+
+_BM25_SQL = f"""
+WITH {_SQL_TOKS},
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+  FROM tok WHERE term IN ('merge', 'spark', 'window') GROUP BY 1, 2
+),
+dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(len(toks)) AS avgdl FROM tw),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0::DOUBLE + (sc.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+           * (tf.tf * 2.2::DOUBLE)
+           / (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl / sc.avgdl)) AS s
+  FROM tf JOIN dfT d USING (term) CROSS JOIN sc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit, ROUND(SUM(s), 6) AS score
+FROM scored GROUP BY 1
+"""
+
+
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ltc-style TF-IDF against the same 3-term query
+    (operators/relevance.py)."""
+    from graph_stream_zoomer_spark.operators.relevance import tfidf_scores
+
+    return tfidf_scores(_docs(spark, sf_dir), _QUERY_TERMS)
+
+
+_TFIDF_SQL = f"""
+WITH {_SQL_TOKS},
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('merge', 'spark', 'window') GROUP BY 1, 2
+),
+dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tw),
+scored AS (
+  SELECT tf.doc_id,
+         (1.0::DOUBLE + ln(tf.tf)) * ln(sc.n_docs / d.df) AS s
+  FROM tf JOIN dfT d USING (term) CROSS JOIN sc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit, ROUND(SUM(s), 6) AS score
+FROM scored GROUP BY 1
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy-hitter terms (operators/relevance.py top_terms):
+    map-side-combined counts + TakeOrderedAndProject, deterministic
+    tie-break by term."""
+    from graph_stream_zoomer_spark.operators.relevance import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=20)
+
+
+_TOP_TERMS_SQL = f"""
+WITH {_SQL_TOKS}
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY 1
+ORDER BY n DESC, term LIMIT 20
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1402,6 +1513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click": q_asof_click,
         "decontam_overlap": q_decontam_overlap,
         "text_repetition": q_text_repetition,
+        "bm25_scores": q_bm25_scores,
+        "tfidf_scores": q_tfidf_scores,
+        "top_terms": q_top_terms,
+        "dedup_first_occurrence": q_dedup_first_occurrence,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1446,6 +1561,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "text_repetition": _REPETITION_SQL,
+        "bm25_scores": _BM25_SQL,
+        "tfidf_scores": _TFIDF_SQL,
+        "top_terms": _TOP_TERMS_SQL,
+        "dedup_first_occurrence": _FIRST_OCC_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -122,6 +122,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "asof_click",
         "decontam_overlap",
         "text_repetition",
+        "bm25_scores",
+        "top_terms",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
