@@ -798,6 +798,45 @@ WHERE rn = 1
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column table profile (operators/profile.py) of the
+    documents table — exact-distinct mode for the oracle (the deployment
+    default is the HLL estimator, plan-pinned Expand-free in pytest)."""
+    from graph_stream_zoomer_spark.operators.profile import profile
+
+    return profile(_docs(spark, sf_dir), exact_distinct=True)
+
+
+_PROFILE_SQL = """
+SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'text', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT), MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a 3-term query
     (operators/relevance.py): postings exchange carries only query-term
@@ -1517,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "top_terms": q_top_terms,
         "dedup_first_occurrence": q_dedup_first_occurrence,
+        "table_profile": q_table_profile,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1565,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_scores": _TFIDF_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "dedup_first_occurrence": _FIRST_OCC_SQL,
+        "table_profile": _PROFILE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
