@@ -123,6 +123,52 @@ def hyperplane_bucket(
     return bucket
 
 
+def _fast_bucket_udf(bits: int, n_tables: int):
+    """Arrow-batched bucket assignment for the FAST (non-reproducible)
+    LSH path: one numpy matmul computes all ``bits × n_tables`` plane
+    dots per batch instead of interpreting that many zip_with/aggregate
+    lambdas per row (~6× faster at bits=4, L=16 on sf0.1). The
+    hyperplane coefficient matrix is md5-derived driver-free inside the
+    UDF (same (hash % 2001 - 1000)/1000 distribution as the JVM path)
+    and cached per vector dim. The reproducible oracle mode keeps the
+    exact JVM left-fold — numpy's accumulation order could flip a
+    near-zero sign vs the SQL oracle's fold."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = bits * n_tables
+    cache: dict[int, "np.ndarray"] = {}
+
+    def coefs(d: int) -> "np.ndarray":
+        if d not in cache:
+            m = np.empty((d, n_planes), dtype=np.float64)
+            for j in range(n_planes):
+                for i in range(d):
+                    h = int(
+                        hashlib.md5(f"fast:{j}:{i}".encode()).hexdigest()[:8], 16
+                    )
+                    m[i, j] = (h % 2001 - 1000) / 1000.0
+            cache[d] = m
+        return cache[d]
+
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def fn(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        S = (V @ coefs(V.shape[1])) > 0  # (N, n_planes) sign bits
+        per_table = [
+            S[:, t * bits : (t + 1) * bits].astype(np.int64) @ weights
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return F.pandas_udf(ArrayType(LongType()))(fn)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,15 +192,21 @@ def lsh_topk(
     oracle-checkable. ``n_tables=1`` keeps the historical single-table
     plan (no candidate-dedup shuffle)."""
 
-    def buckets() -> Column:
-        return F.array(
-            *[
-                hyperplane_bucket(
-                    vec_col, bits, reproducible=reproducible, plane_offset=t * bits
-                )
-                for t in range(n_tables)
-            ]
-        )
+    if reproducible:
+        def buckets() -> Column:
+            return F.array(
+                *[
+                    hyperplane_bucket(
+                        vec_col, bits, reproducible=True, plane_offset=t * bits
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+    else:
+        _udf = _fast_bucket_udf(bits, n_tables)
+
+        def buckets() -> Column:
+            return _udf(F.col(vec_col))
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
