@@ -1521,6 +1521,151 @@ FROM documents
 """
 
 
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup (operators/rollup.py): one map-side-
+    combinable groupBy(conv_id) pass over the transcript binding. Roles in
+    the events binding are event types, so the user/assistant counters are
+    bound to the two hottest event types."""
+    from graph_stream_zoomer_spark.operators.rollup import conversation_stats
+
+    t = events_to_transcripts_df(spark, sf_dir)
+    return conversation_stats(t, user_role="view", assistant_role="click")
+
+
+_CONV_ROLLUP_SQL = f"""
+WITH {_SQL_T}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       COUNT(CASE WHEN role = 'view' THEN 1 END) AS n_user,
+       COUNT(CASE WHEN role = 'click' THEN 1 END) AS n_assistant,
+       COUNT(CASE WHEN '' <> '' THEN 1 END) AS n_tool_calls,
+       COUNT(DISTINCT role) AS n_roles,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+FROM t GROUP BY conv_id
+"""
+
+
+def q_interval_join_first5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketized range join (operators/rangejoin.py): turns landing in
+    their conversation's first-5-minutes interval — an equi-join on
+    (conv_id, time-bin), never a BroadcastNestedLoopJoin."""
+    from graph_stream_zoomer_spark.operators.rangejoin import interval_join
+
+    t = events_to_transcripts_df(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    iv = (
+        t.groupBy("conv_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    j = interval_join(t, iv, on=["conv_id"], bin_width="5 minutes")
+    return j.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_first5"),
+        F.max("turn_idx").alias("max_idx_first5"),
+    )
+
+
+_INTERVAL_JOIN_SQL = f"""
+WITH {_SQL_T},
+iv AS (
+  SELECT conv_id, MIN(ts) AS start_ts, MIN(ts) + INTERVAL 5 MINUTE AS end_ts
+  FROM t GROUP BY conv_id
+)
+SELECT t.conv_id, COUNT(*) AS n_first5, MAX(t.turn_idx) AS max_idx_first5
+FROM t JOIN iv USING (conv_id)
+WHERE t.ts >= iv.start_ts AND t.ts <= iv.end_ts
+GROUP BY t.conv_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py expr_redact_pii): deterministic PII
+    is injected per doc_id residue so every pattern kind is exercised, then
+    redacted + counted with chained Catalyst regexes (oracle runs the same
+    RE2-compatible patterns)."""
+    from graph_stream_zoomer_spark.functions.text import (
+        expr_pii_counts,
+        expr_redact_pii,
+    )
+
+    docs = _docs(spark, sf_dir)
+    inj = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit(" call +1415555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select("doc_id", F.concat(F.col("text"), inj).alias("text"))
+    return injected.select(
+        "doc_id",
+        expr_redact_pii("text").alias("redacted"),
+        *expr_pii_counts("text"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d ()-]{6,14}\d\b"
+
+_PII_REDACT_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      WHEN doc_id % 5 = 1 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                      WHEN doc_id % 5 = 2 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
+  FROM documents
+),
+s1 AS (SELECT doc_id, text, regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM inj),
+s2 AS (SELECT *, regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS INTEGER) AS n_ip,
+       CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INTEGER) AS n_phone
+FROM s2
+"""
+
+
+def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based stratified sampling (operators/packing.py
+    stratified_sample_rates): per-language keep rates via a broadcast rates
+    dimension + md5-threshold — the deterministic data-mixing primitive."""
+    from graph_stream_zoomer_spark.operators.packing import stratified_sample_rates
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample_rates(
+        docs,
+        {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1},
+        "lang",
+        "doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
+_DOC_MIX_SQL = """
+WITH r(lang, keep_ppm) AS (
+  VALUES ('en', 1000000), ('de', 500000), ('fr', 250000), ('es', 250000), ('zh', 100000)
+)
+SELECT doc_id, lang
+FROM documents JOIN r USING (lang)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 1000000 < keep_ppm
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1577,6 +1722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_counts": q_text_split_counts,
         "doc_sample": q_doc_sample,
         "media_digests": q_media_digests,
+        "conv_rollup": q_conv_rollup,
+        "interval_join_first5m": q_interval_join_first5m,
+        "pii_redact": q_pii_redact,
+        "doc_mix_sample": q_doc_mix_sample,
     }
 
 
@@ -1626,4 +1775,8 @@ def oracle_sql() -> dict[str, str]:
         "text_split_counts": _SPLIT_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
         "media_digests": _MEDIA_SQL,
+        "conv_rollup": _CONV_ROLLUP_SQL,
+        "interval_join_first5m": _INTERVAL_JOIN_SQL,
+        "pii_redact": _PII_REDACT_SQL,
+        "doc_mix_sample": _DOC_MIX_SQL,
     }

@@ -147,3 +147,49 @@ def pdf_rolling_fingerprint(texts: pd.Series) -> pd.Series:
         return h - (1 << 64) if h >= (1 << 63) else h
 
     return texts.map(roll).astype("int64")
+
+
+# ----------------------------------------------------------------- PII
+# Redaction patterns chosen for the Java-regex ∩ RE2 (DuckDB) common
+# subset — no lookaround, no backreferences — so the Catalyst path is
+# oracle-expressible verbatim. Order matters: emails before phones (an
+# email's digit runs must not be phone-matched), IPs before phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ()-]{6,14}\d\b", "<PHONE>"),
+)
+
+
+def expr_redact_pii(col: Column | str) -> Column:
+    """Redact emails / IPv4s / international-format phone numbers with
+    typed placeholder tokens. Chained Catalyst ``regexp_replace`` — three
+    JVM regex passes inside one codegen stage, no Python. A heuristic
+    (training-data hygiene), not a compliance guarantee."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def expr_pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind match counts (``n_email``/``n_ip``/``n_phone``) — the
+    audit columns a redaction pass should always emit alongside the
+    redacted text. Counts are measured on the ORIGINAL text, each kind
+    after the prior kinds' redaction (same order as expr_redact_pii), so
+    e.g. an email's host dots are never double-counted as an IP."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for name, pat, token in PII_PATTERNS:
+        out.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
+        c = F.regexp_replace(c, pat, token)
+    return out
+
+
+@F.pandas_udf(StringType())
+def pdf_redact_pii(texts: pd.Series) -> pd.Series:
+    """Arrow twin of expr_redact_pii (same patterns, pandas str.replace)."""
+    out = texts.fillna("")
+    for _, pat, token in PII_PATTERNS:
+        out = out.str.replace(pat, token, regex=True)
+    return out

@@ -108,3 +108,45 @@ def deterministic_sample(
     # a distributed top-k (TakeOrderedAndProject) when an action limits it
     w = Window.orderBy(order, F.col(key_col))
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def stratified_sample_rates(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum rate-based downsampling (the "data mixing" primitive:
+    keep 100% of code, 30% of web, 5% of logs, …).
+
+    Deterministic: a row survives iff md5-bucket(key) < rate·10⁶, the same
+    engine-portable hash arithmetic as assign_split — so the sample is
+    stable across runs, input orderings, and engines, and composable with
+    assign_split (independent md5 prefixes: bucket uses hex chars 9-16,
+    split uses 1-8, so sampling never biases the split).
+
+    Scale: the rates dict becomes a tiny dimension DataFrame joined with a
+    broadcast hash join (never a shuffle of the fact side); the filter is
+    a pure projection after it. Strata missing from ``rates`` get
+    ``default_rate`` (0.0 = drop, the safe default for an explicit mix).
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(s, int(round(r * 1_000_000))) for s, r in sorted(rates.items())],
+        f"{strata_col} string, _keep_ppm long",
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    default_ppm = int(round(default_rate * 1_000_000))
+    return (
+        df.join(F.broadcast(rates_df), strata_col, "left")
+        .withColumn("_keep_ppm", F.coalesce(F.col("_keep_ppm"), F.lit(default_ppm)))
+        .where(bucket < F.col("_keep_ppm"))
+        .drop("_keep_ppm")
+    )

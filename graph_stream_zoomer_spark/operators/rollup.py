@@ -1,0 +1,128 @@
+"""Conversation-level rollup over the transcript table.
+
+The input-hint table (conv_id, turn_idx, role, text, tool, ts) is turn-
+grained; most pipeline decisions (keep/drop a conversation, route it to a
+training mix, bill a tenant) are conversation-grained. This operator
+collapses turns to one row per conversation with the session-level
+features those decisions need.
+
+Reference parity note: the reference (dbs-leipzig/graph-stream-zoomer)
+has no conversation rollup — its grouping operator summarizes by
+label/property keys (e.g. `GroupingTest.java` in
+`src/test/java/.../grouping/`). This operator is the transcript-pipeline
+extension the brief asks for beyond reference coverage.
+
+100 TB design:
+- ONE shuffle on conv_id; every aggregate is map-side combinable
+  (count / conditional count / sum / min / max / min_by / max_by), so the
+  partial-aggregation pass collapses each input partition to its local
+  conversation set before the exchange. `n_roles` uses
+  `array_distinct(collect_set(...))`-free `count(DISTINCT role)` — Spark
+  plans it as a two-level expand+agg, still fully distributed; role
+  cardinality is tiny (≤ a handful) so the expand factor is bounded.
+- No windows, no joins, no Python. The whole plan is one
+  WholeStageCodegen span per side of the exchange.
+- Skewed conversations (one conv with millions of turns) are bounded by
+  the generator's cap in tests; in production the same salting used by
+  the grouping operator applies (partial agg already absorbs most skew
+  because every aggregate here is algebraic).
+
+The streaming twin (`streaming_conversation_stats`) expresses the same
+rollup as a session-window aggregation: a conversation is "closed" when
+no turn arrives for `gap` — the watermark then emits exactly one final
+row per conversation (append mode), matching the batch rollup on the same
+input once all sessions have closed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg_exprs(
+    streaming: bool = False,
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> list:
+    # n_roles: batch uses count(DISTINCT) (two-level expand+agg); streaming
+    # aggregation forbids distinct aggregates, so the twin carries a
+    # collect_set in state instead — bounded by role cardinality (≤ a
+    # handful of roles), so state stays O(1) per open session.
+    n_roles = (
+        F.size(F.collect_set("role")) if streaming else F.count_distinct(F.col("role"))
+    )
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col("role") == user_role, 1)).alias("n_user"),
+        F.count(F.when(F.col("role") == assistant_role, 1)).alias("n_assistant"),
+        F.count(F.when(F.col("tool") != "", 1)).alias("n_tool_calls"),
+        n_roles.alias("n_roles"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    ]
+
+
+def conversation_stats(
+    t: DataFrame,
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """One row per conversation: turn counts by role, tool-call count,
+    distinct-role count, total text volume, first/last timestamps and
+    roles, and wall-clock duration.
+
+    Input: the transcript shape ``(conv_id, turn_idx, role, text, tool,
+    ts)``. Output is deterministic (no floating aggregation other than
+    duration in integer seconds) and hash-comparable against a plain SQL
+    oracle.
+    """
+    return (
+        t.groupBy("conv_id")
+        .agg(*_agg_exprs(user_role=user_role, assistant_role=assistant_role))
+        .withColumn(
+            "duration_s",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).cast("bigint"),
+        )
+    )
+
+
+def streaming_conversation_stats(
+    t: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin: session-window rollup keyed by conv_id.
+
+    A conversation closes when no turn arrives within ``gap``; the
+    watermark then finalizes the session and append mode emits exactly one
+    row for it. Columns match :func:`conversation_stats` plus the session
+    window bounds. State is bounded: one open session per active
+    conversation, evicted at watermark + gap.
+    """
+    return (
+        t.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "conv_id")
+        .agg(*_agg_exprs(streaming=True))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+            "n_user",
+            "n_assistant",
+            "n_tool_calls",
+            "n_roles",
+            "total_chars",
+            "first_ts",
+            "last_ts",
+            "first_role",
+            "last_role",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+    )
