@@ -40,13 +40,18 @@ class ConvergenceError(RuntimeError):
     returned components would be WRONG (split), so we refuse."""
 
 
-def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+def _truncate(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
     """Cut lineage: reliable ``checkpoint`` (HDFS/S3-backed, survives
     executor loss) when a checkpoint dir is configured, else
-    ``localCheckpoint`` (fast, executor-local, local-mode only)."""
+    ``localCheckpoint`` (fast, executor-local, local-mode only).
+
+    ``eager=False`` defers materialization to the caller's next
+    full-partition action — the loop uses this to fold the checkpoint job
+    and the convergence-count job into ONE job per round (the count scans
+    every partition, so the checkpoint is fully materialized by it)."""
     if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -92,9 +97,13 @@ def connected_components(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    # undirected: both directions, so one groupBy(node) sees all neighbors
+    # undirected: both directions, so one groupBy(node) sees all neighbors.
+    # Pre-hash-partition on the per-round join key: localCheckpoint/
+    # checkpoint preserve the child's HashPartitioning, so the static edge
+    # side is exchanged ONCE here and never again inside the loop (only the
+    # labels side, which changes every round, reshuffles).
     sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = _truncate(sym, reliable)
+    sym = _truncate(sym.repartition(F.col("b")), reliable)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -103,17 +112,22 @@ def connected_components(
     labels = _truncate(labels, reliable)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("_prev"),
+        # one join + one groupBy per round: new(u) = min(old(u), min over
+        # neighbors v of old(v)). The "keep own label" path rides the same
+        # aggregation as a self-contribution row (flagged so the pre-update
+        # label comes back out as _prev for convergence detection) instead
+        # of a second labels-join.
+        contrib_nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "component"), "b"
+        ).select(F.col("a").alias("node"), "component", F.lit(False).alias("_self"))
+        new_labels = (
+            labels.select("node", "component", F.lit(True).alias("_self"))
+            .unionByName(contrib_nbr)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_prev"),
+            )
         )
         if path_halving:
             # L(u) ← L(L(u)): component ids are node ids and every node is
@@ -131,8 +145,12 @@ def connected_components(
                 "_changed", F.col("component") < F.col("_prev")
             ).drop("_prev"),
             reliable,
+            eager=False,
         )
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        # one job per round: this count scans every partition, which both
+        # materializes the lazy checkpoint above and decides convergence
+        # (previously: an eager-checkpoint job PLUS a limit(1) count job)
+        changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
