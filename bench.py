@@ -120,6 +120,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_clusters",
         "pack_sequences",
         "asof_click",
+        "conv_rollup",
+        "interval_join_first5m",
+        "pii_redact",
+        "doc_mix_sample",
         "decontam_overlap",
         "text_repetition",
         "bm25_scores",
