@@ -1666,6 +1666,122 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 1000000 < k
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-rule sessionization (operators/rollup.py sessionize):
+    labels every turn with its session ordinal in one window pass on the
+    conv_id exchange; semantics pinned against Spark's session_window."""
+    from graph_stream_zoomer_spark.operators.rollup import sessionize
+
+    t = events_to_transcripts_df(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    return sessionize(t, gap_s=600).select("conv_id", "turn_idx", "session_id")
+
+
+_SESSIONIZE_SQL = f"""
+WITH {_SQL_T},
+g AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, turn_idx,
+       conv_id || '#' || CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                                ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+FROM g
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (operators/quality.py quality_filter):
+    length/lang/quality-score/Gopher-repetition gates, auditable
+    drop_reasons per doc (array emitted comma-joined for the oracle)."""
+    from graph_stream_zoomer_spark.operators.quality import quality_filter
+
+    out = quality_filter(
+        _docs(spark, sf_dir),
+        min_chars=300,
+        max_chars=20_000,
+        min_quality=0.5,
+        max_dup_word_frac=0.3,
+        max_top_word_frac=0.2,
+        max_dup_2gram_frac=0.3,
+        langs=("en", "de"),
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+        F.col("keep").cast("int").alias("keep_i"),
+    )
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH w0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM w0)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_words, MAX(c) AS top_c
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, CAST(len(words) - 1 AS BIGINT) AS n2,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i + 1]))) AS BIGINT) AS n2d
+  FROM w0 WHERE len(words) >= 2
+),
+rep AS (
+  SELECT a.doc_id,
+         ROUND(1 - CAST(a.n_distinct_words AS DOUBLE) / a.n_words, 6) AS dup_word_frac,
+         ROUND(CAST(a.top_c AS DOUBLE) / a.n_words, 6) AS top_word_frac,
+         COALESCE(ROUND(1 - CAST(b.n2d AS DOUBLE) / b.n2, 6), 0.0) AS dup_2gram_frac
+  FROM agg a LEFT JOIN bg b USING (doc_id)
+),
+j AS (
+  SELECT d.doc_id, d.text, d.lang,
+         r.dup_word_frac, r.top_word_frac, r.dup_2gram_frac,
+         ROUND(
+           0.4 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0)
+           + 0.3 * (1.0 - CASE WHEN length(d.text) > 0
+               THEN CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(d.text)
+               ELSE 1.0 END)
+           + 0.3 * least(1.0, 4.0 * CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) > 0
+               THEN CAST(len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+                    x -> list_contains({_STOPWORDS_SQL_LIST}, x))) AS DOUBLE)
+                    / len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+               ELSE 0.0 END)
+         , 6) AS quality
+  FROM documents d LEFT JOIN rep r USING (doc_id)
+),
+reasons AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN dup_word_frac IS NULL THEN 'empty' END,
+           CASE WHEN length(text) < 300 THEN 'too_short' END,
+           CASE WHEN length(text) > 20000 THEN 'too_long' END,
+           CASE WHEN lang NOT IN ('en', 'de') THEN 'lang' END,
+           CASE WHEN quality < 0.5 THEN 'low_quality' END,
+           CASE WHEN dup_word_frac > 0.3 THEN 'dup_words' END,
+           CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
+           CASE WHEN dup_2gram_frac > 0.3 THEN 'dup_2grams' END
+         ], x -> x IS NOT NULL) AS rl
+  FROM j
+)
+SELECT doc_id, array_to_string(rl, ',') AS drop_reasons,
+       CAST(len(rl) = 0 AS INTEGER) AS keep_i
+FROM reasons
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1726,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_first5m": q_interval_join_first5m,
         "pii_redact": q_pii_redact,
         "doc_mix_sample": q_doc_mix_sample,
+        "sessionize": q_sessionize,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1779,4 +1897,6 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_first5m": _INTERVAL_JOIN_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "doc_mix_sample": _DOC_MIX_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
     }

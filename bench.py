@@ -124,6 +124,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "interval_join_first5m",
         "pii_redact",
         "doc_mix_sample",
+        "sessionize",
+        "quality_filter",
         "decontam_overlap",
         "text_repetition",
         "bm25_scores",

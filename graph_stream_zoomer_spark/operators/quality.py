@@ -111,3 +111,70 @@ def repetition_signals(
         .otherwise(F.lit(0.0))
         .alias("dup_2gram_frac"),
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 1_000_000,
+    min_quality: float | None = 0.5,
+    max_dup_word_frac: float | None = 0.5,
+    max_top_word_frac: float | None = 0.3,
+    max_dup_2gram_frac: float | None = 0.5,
+    langs: tuple[str, ...] | None = None,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Composite document quality gate: every input row comes back with
+    ``drop_reasons: array<string>`` (empty = clean) and ``keep: boolean``
+    — the auditable form a pipeline needs (dropping silently makes mix
+    debugging impossible; a reasons column makes every removal countable
+    by cause).
+
+    Gates, in fixed order: empty normalized text, length bounds, language
+    allowlist (on the ``lang_col`` metadata column), quality-score floor
+    (functions/text.py expr_quality_score), and the Gopher repetition caps
+    (repetition_signals). Any threshold set to None skips its gate.
+
+    Plan: repetition_signals' one-exchange aggregate, then ONE
+    co-partitioned join back to the docs (the signals side is already
+    hash-partitioned by doc_id from its groupBy, so only the docs side
+    exchanges) — 2 exchanges end-to-end, all gates pure Catalyst
+    projections, zero Python.
+    """
+    from ..functions.text import expr_quality_score
+
+    rep = repetition_signals(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "dup_word_frac", "top_word_frac", "dup_2gram_frac"
+    )
+    joined = docs.join(rep, id_col, "left")
+
+    gates: list[tuple[str, Column]] = [
+        # no repetition row ⇔ normalized text was empty
+        ("empty", F.col("dup_word_frac").isNull()),
+        ("too_short", F.length(text_col) < min_chars),
+        ("too_long", F.length(text_col) > max_chars),
+    ]
+    if langs is not None:
+        gates.append(("lang", ~F.col(lang_col).isin(*langs)))
+    if min_quality is not None:
+        gates.append(("low_quality", expr_quality_score(text_col) < min_quality))
+    if max_dup_word_frac is not None:
+        gates.append(("dup_words", F.col("dup_word_frac") > max_dup_word_frac))
+    if max_top_word_frac is not None:
+        gates.append(("top_word", F.col("top_word_frac") > max_top_word_frac))
+    if max_dup_2gram_frac is not None:
+        gates.append(("dup_2grams", F.col("dup_2gram_frac") > max_dup_2gram_frac))
+
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond.eqNullSafe(F.lit(True)), F.lit(name)) for name, cond in gates
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )

@@ -126,3 +126,48 @@ def streaming_conversation_stats(
             .alias("duration_s"),
         )
     )
+
+
+def sessionize(
+    t: DataFrame,
+    gap_s: int = 1800,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Batch gap-rule session assignment: within each ``key``, a new
+    session starts at the first row and at every row arriving strictly
+    more than ``gap_s`` seconds after the previous row (``>`` — measured
+    against Spark's session_window, which MERGES an event landing exactly
+    at last+gap; microsecond arithmetic, not second-truncated). Emits
+    ``out_col`` = ``key#<session-ordinal>`` on every input row.
+
+    The batch twin of the session WINDOW (operators/grouping.py W1 /
+    streaming_conversation_stats): the window form aggregates away the
+    rows, this form labels them — what a pipeline needs to split one
+    over-long conversation into trainable session chunks while keeping the
+    turns. Same semantics: identical gap rule, so a downstream
+    groupBy(session_id) reproduces the session-window aggregate.
+
+    One window exchange on ``key`` — the SAME exchange the successor-edge
+    binding and pack_sequences already need, so in a fused pipeline
+    Catalyst reuses it (subset-clustering rule). lag + running-sum in one
+    WindowExec pass; no joins, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_s * 1_000_000
+        )
+    ).cast("int")
+    sess_ord = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn(out_col, F.concat_ws("#", F.col(key), sess_ord.cast("string")))

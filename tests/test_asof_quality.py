@@ -204,3 +204,117 @@ class TestRepetitionSignals:
         # subset-clustering rule — the exploded words are never shuffled
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Generate explode" in plan
+
+
+class TestQualityFilter:
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog and then it stops to "
+        "think about the warm afternoon while the birds are singing in the "
+        "garden and the cat is watching from a windowsill near the door"
+    )
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [
+            (0, self.GOOD, "en"),                      # clean
+            (1, "short", "en"),                        # too_short
+            (2, self.GOOD, "de"),                      # lang
+            (3, "spam " * 60, "en"),                   # top_word + dup_words
+            (4, "!!! ??? *** ###" * 20, "en"),         # empty (no alnum) → empty gate
+            (5, self.GOOD * 200, "en"),                # too_long at max_chars=20000
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_gates_and_reasons(self, spark, docs):
+        from graph_stream_zoomer_spark.operators.quality import quality_filter
+
+        out = {
+            r["doc_id"]: r
+            for r in quality_filter(
+                docs,
+                min_chars=50,
+                max_chars=20_000,
+                min_quality=0.5,
+                max_dup_word_frac=0.5,
+                max_top_word_frac=0.3,
+                max_dup_2gram_frac=0.5,
+                langs=("en",),
+            ).collect()
+        }
+        assert out[0]["keep"] and out[0]["drop_reasons"] == []
+        assert "too_short" in out[1]["drop_reasons"] and not out[1]["keep"]
+        assert out[2]["drop_reasons"] == ["lang"]
+        assert {"dup_words", "top_word"} <= set(out[3]["drop_reasons"])
+        assert "empty" in out[4]["drop_reasons"]
+        assert "too_long" in out[5]["drop_reasons"]
+
+    def test_none_thresholds_skip_gates(self, spark, docs):
+        from graph_stream_zoomer_spark.operators.quality import quality_filter
+
+        out = {
+            r["doc_id"]: r
+            for r in quality_filter(
+                docs,
+                min_chars=1,
+                max_chars=10**9,
+                min_quality=None,
+                max_dup_word_frac=None,
+                max_top_word_frac=None,
+                max_dup_2gram_frac=None,
+            ).collect()
+        }
+        assert out[3]["keep"]  # repetition gates off
+        assert not out[4]["keep"]  # empty gate always on
+
+
+class TestSessionize:
+    def test_gap_rule(self, spark):
+        from graph_stream_zoomer_spark.operators.rollup import sessionize
+
+        rows = [
+            ("c1", 0, "2024-01-01 10:00:00"),
+            ("c1", 1, "2024-01-01 10:10:00"),   # 10 min gap → same session
+            ("c1", 2, "2024-01-01 11:30:00"),   # 80 min gap → new session
+            ("c1", 3, "2024-01-01 11:31:00"),
+            ("c2", 0, "2024-01-01 10:00:00"),
+        ]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["conv_id"], r["turn_idx"]): r["session_id"]
+            for r in sessionize(t, gap_s=1800).collect()
+        }
+        assert out[("c1", 0)] == out[("c1", 1)] == "c1#1"
+        assert out[("c1", 2)] == out[("c1", 3)] == "c1#2"
+        assert out[("c2", 0)] == "c2#1"
+
+    def test_groupby_session_matches_session_window_count(self, spark):
+        """The gap rule must agree with Spark's session_window: grouping by
+        sessionize's label gives the same per-session turn counts."""
+        from graph_stream_zoomer_spark.operators.rollup import sessionize
+
+        # includes an exact-boundary gap (minute 18 → 28 is exactly the
+        # 10-minute gap): session_window MERGES that event (verified
+        # empirically), so sessionize's strict-> rule must too
+        rows = [
+            ("c1", i, f"2024-01-01 10:{m:02d}:00")
+            for i, m in enumerate([0, 4, 8, 18, 28, 59])
+        ]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        via_label = sorted(
+            r["n"]
+            for r in sessionize(t, gap_s=600)
+            .groupBy("session_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        via_window = sorted(
+            r["n"]
+            for r in t.groupBy(F.session_window("ts", "10 minutes"), "conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert via_label == via_window
