@@ -181,3 +181,46 @@ def test_streaming_join_state_carries_no_text_payload(spark):
     joined = _joined_successors(_slim(turns), "10 seconds", "1 hour")
     buffered = {f.name for f in joined.schema.fields}
     assert "text" not in buffered, "raw text payload reached the join state"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_conversation_stats_two_exchange_combinable(spark):
+    """Rollup = partial-agg → ONE conv_id exchange (+ one for the distinct
+    pre-agg on (conv_id, role), itself map-side partial) — and zero Python."""
+    from graph_stream_zoomer_spark.operators.rollup import conversation_stats
+    from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts
+
+    plan = _plan(conversation_stats(generate_transcripts(spark, 50)))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "Python" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_exchange_two_window_passes(spark):
+    """lag + running-sum share the conv_id partitioning: exactly one
+    exchange, and every window spec is partitioned (no global sort)."""
+    from graph_stream_zoomer_spark.operators.rollup import sessionize
+    from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts
+
+    plan = _plan(sessionize(generate_transcripts(spark, 50)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "Python" not in plan
+
+
+def test_quality_filter_no_nested_loop_no_python(spark):
+    """The enrich join must stay an equi-join (broadcast at this size, SMJ
+    at scale) and all gates stay Catalyst-side."""
+    from graph_stream_zoomer_spark.operators.quality import quality_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with the and of words", "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(quality_filter(docs, langs=("en",)))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
