@@ -171,3 +171,139 @@ def sessionize(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return t.withColumn(out_col, F.concat_ws("#", F.col(key), sess_ord.cast("string")))
+
+
+def streaming_sessionize(
+    turns: DataFrame,
+    gap_s: int = 1800,
+    key: str = "conv_id",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` — labels each turn with its
+    session ordinal (``key#n``), emitted exactly once when the session
+    CLOSES (watermark passes last-event + gap, mirroring session_window's
+    append semantics; a turn cannot be labeled earlier because a late-but-
+    legal event could still merge two open sessions).
+
+    Keyed state per conversation: the un-emitted (turn_idx, ts) pairs plus
+    the closed-session count. Each micro-batch re-segments the buffer with
+    the SAME strict-> gap rule as batch sessionize, closes every session
+    whose ``last + gap`` the watermark has strictly passed (closes happen
+    in start order, so ordinals match the batch numbering), and arms an
+    event-time timeout at the earliest pending close so idle conversations
+    flush on no-data batches. State is O(open-session turns) — text/role
+    payloads are NOT buffered (emit (conv_id, turn_idx, ts, session_id);
+    re-attach payload with a batch join downstream), the same state-byte
+    pushdown rule the grouping job uses.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = gap_s * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("ts", TimestampType()),
+            StructField("session_id", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("idxs", ArrayType(IntegerType())),
+            StructField("ts_us", ArrayType(LongType())),
+            StructField("n_closed", LongType()),
+        ]
+    )
+
+    def labeler(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idxs, ts_us, n_closed = state.get
+            buf = list(zip((int(i) for i in idxs), (int(t) for t in ts_us)))
+            n_closed = int(n_closed)
+        else:
+            buf, n_closed = [], 0
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                tcol = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+                buf.extend(
+                    (int(i), int(t)) for i, t in zip(pdf["turn_idx"], tcol)
+                )
+
+        # segment the whole un-emitted buffer with the batch gap rule
+        buf.sort(key=lambda x: (x[1], x[0]))
+        sessions: list[list[tuple[int, int]]] = []
+        for row in buf:
+            if sessions and row[1] - sessions[-1][-1][1] <= gap_us:
+                sessions[-1].append(row)
+            else:
+                sessions.append([row])
+
+        out = {key: [], "turn_idx": [], "ts": [], "session_id": []}
+        kept: list[tuple[int, int]] = []
+        for sess in sessions:  # start order == close order
+            if sess[-1][1] + gap_us < wm_us:
+                n_closed += 1
+                sid = f"{k[0]}#{n_closed}"
+                for i, t in sess:
+                    out[key].append(k[0])
+                    out["turn_idx"].append(i)
+                    out["ts"].append(pd.Timestamp(t, unit="us"))
+                    out["session_id"].append(sid)
+            else:
+                kept.extend(sess)
+
+        if kept:
+            state.update(
+                (
+                    [i for i, _ in kept],
+                    [t for _, t in kept],
+                    n_closed,
+                )
+            )
+            min_close_ms = min(
+                t for _, t in kept
+            )  # conservative: wake at earliest buffered ts + gap
+            state.setTimeoutTimestamp(
+                max((min_close_ms + gap_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        elif n_closed and not state.hasTimedOut:
+            # remember the ordinal for future sessions of this conversation
+            # for one more timeout period; if the conversation stays silent
+            # until then, drop the state (bounded retention — a conversation
+            # resuming after that horizon restarts its ordinals, documented)
+            state.update(([], [], n_closed))
+            state.setTimeoutTimestamp(wm_us // 1000 + gap_s * 1000 + 1)
+        else:
+            state.remove()
+
+        if out[key]:
+            yield pd.DataFrame(out)
+
+    return (
+        turns.select(key, "turn_idx", "ts")
+        .groupBy(key)
+        .applyInPandasWithState(
+            labeler,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -239,3 +239,65 @@ def test_stratified_sample_broadcasts_rates(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Keyed-state sessionize twin: labels arrive exactly once when the
+    watermark closes each session, and match batch sessionize row-for-row
+    across micro-batches."""
+    from graph_stream_zoomer_spark.operators.rollup import (
+        sessionize,
+        streaming_sessionize,
+    )
+
+    S_DDL = "conv_id string, turn_idx int, ts timestamp"
+    chunks = [
+        [  # session c1#1 (gap 10 min within, 30-min rule)
+            ("c1", 0, "2024-01-01 10:00:00"),
+            ("c1", 1, "2024-01-01 10:10:00"),
+        ],
+        [  # c1 session 2 (80-min gap) + c2's only session
+            ("c1", 2, "2024-01-01 11:30:00"),
+            ("c1", 3, "2024-01-01 11:40:00"),
+            ("c2", 0, "2024-01-01 10:05:00"),
+        ],
+        [("zz", 0, "2030-01-01 00:00:00")],  # sentinel closes everything
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, S_DDL.replace("ts timestamp", "ts string")
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for i, chunk in enumerate(chunks):
+        frame(chunk).coalesce(1).write.mode("append").parquet(src)
+        if i < len(chunks) - 1:
+            time.sleep(1.1)
+
+    st = (
+        spark.readStream.schema(S_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+    )
+    q = (
+        streaming_sessionize(st, gap_s=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["session_id"])
+        for r in spark.read.parquet(out).where(F.col("conv_id") != "zz").collect()
+    )
+    batch_in = frame([r for c in chunks[:-1] for r in c])
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["session_id"])
+        for r in sessionize(batch_in, gap_s=1800).collect()
+    )
+    assert got == want and len(got) == 5
