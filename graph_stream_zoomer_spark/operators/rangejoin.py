@@ -51,8 +51,8 @@ def interval_join(
     ``ts_col``, matching on the optional equi-keys ``on`` first.
 
     ``how``: "inner" or "left" (left keeps probe rows matching no
-    interval, with interval columns NULL — implemented as inner + anti
-    union so the hot path stays an equi-join).
+    interval, with interval columns NULL — same single equi-join: a probe
+    row lands in exactly one bin, so it null-extends exactly once).
 
     Both timestamp columns must be non-null; intervals with
     ``end < start`` match nothing; an interval spanning more than
@@ -103,20 +103,12 @@ def interval_join(
         cond = cond & (F.col(k) == F.col(f"_i_{k}"))
     residual = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
 
-    joined = probe_b.join(iv_b, cond & residual, "inner").drop(
+    # 'left' is the SAME single equi-join: a probe row has exactly one bin,
+    # so when nothing matches (bin+keys+residual) it null-extends exactly
+    # once — no anti-join/union detour needed.
+    return probe_b.join(iv_b, cond & residual, how).drop(
         "_bin", "_ibin", *[f"_i_{k}" for k in on]
     )
-    if how == "inner":
-        return joined
-    # left: probe rows with no containing interval, interval cols NULL.
-    iv_cols = [c for c in intervals.columns if c not in on]
-    matched_keys = joined.select(*probe.columns)
-    unmatched = probe.join(matched_keys, probe.columns, "left_anti")
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
-        )
-    return joined.unionByName(unmatched.select(*joined.columns))
 
 
 def _interval_us(spec: str) -> int:
