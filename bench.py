@@ -148,6 +148,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     from graph_stream_zoomer_spark.operators.dedup import (
         embedding_near_duplicates,
+        minhash_lsh_candidates,
         ngram_jaccard_pairs,
         simhash_duplicates,
     )
@@ -167,6 +168,11 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         lambda: lsh_topk(
             emb, emb.where(F.col("vec_id") < 3), k=10, bits=4, n_tables=16
         ).count(),
+    )
+    run(
+        "dedup_minhash_lsh_fast",
+        # single-groupBy vote-agg signature path (no num_hashes× explode)
+        lambda: minhash_lsh_candidates(docs, reproducible=False).count(),
     )
     run(
         "dedup_ngram_jaccard_capped",

@@ -185,41 +185,113 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: shingle → minhash → band → bucket-join.
 
-    Plan shape (all whole-stage-codegen, no interpreted array lambdas in the
-    hot path): explode shingles → explode hash index → hash → two partial-
-    aggregating groupBys (min per (doc, i), band bucket per (doc, band)) →
-    bucket self-join. Map-side combine means the shuffles carry at most
-    num_hashes (resp. bands) rows per doc per partition, independent of
-    document length. Verify candidates with ngram_jaccard on the pairs.
+    Two plan shapes, both whole-stage-codegen with no interpreted array
+    lambdas in the hot path:
+
+    - ``reproducible=False`` (deployment default): ONE shingle explode, then
+      every signature slot as a codegen'd ``min(xxhash64(i, h0))`` aggregate
+      in a single groupBy (the simhash vote-agg pattern) — the shuffle
+      carries ``num_hashes`` partial mins per doc per partition instead of
+      ``num_hashes×`` the shingle rows. Band buckets are a pure projection
+      (xxhash64 over the band's min columns). ~``num_hashes``× fewer
+      shuffled rows than the explode-per-hash shape.
+    - ``reproducible=True`` (oracle mode): explode shingles × hash index →
+      md5 → two partial-aggregating groupBys (min per (doc, i), band bucket
+      per (doc, band)) — portable to any SQL engine for the DuckDB oracle.
+
+    Map-side combine means the shuffles carry at most num_hashes (resp.
+    bands) rows per doc per partition, independent of document length.
+    Verify candidates with ngram_jaccard on the pairs.
     """
     rows_per_band = num_hashes // bands
     docs = _spread(docs)
-    postings = docs.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
-    ).withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    if reproducible:
-        h = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
-    else:
-        h = F.format_string("%016x", F.xxhash64("i", "shingle"))
-    minh = (
-        postings.select("doc", "i", h.alias("h"))
-        .groupBy("doc", "i")
-        .agg(F.min("h").alias("h"))
-    )
-    banded = (
-        minh.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "h"))), lambda s: s["h"]
-                    ),
-                )
-            ).alias("bucket")
+    if not reproducible:
+        # FAST path: NO num_hashes× row explosion. One shingle explode,
+        # then all `num_hashes` signature slots as codegen'd
+        # min(xxhash64(i, base)) aggregates in a SINGLE groupBy (the
+        # simhash vote-agg pattern) — the shuffle carries num_hashes
+        # partial mins per doc per partition instead of num_hashes× the
+        # shingle rows. Band buckets are then a pure projection
+        # (xxhash64 over the band's min columns), exploded to (band,
+        # bucket) rows for the self-join. ~32× fewer shuffled rows than
+        # the reproducible shape at num_hashes=32.
+        postings = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col)).alias("shingle"),
+        ).select("doc", F.xxhash64("shingle").alias("h0"))
+        sig = postings.groupBy("doc").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
         )
-    )
+        band_structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"m{i}")
+                        for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+        banded = sig.select(
+            "doc", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        # Pair generation WITHOUT a self-join: a self-join would duplicate
+        # the whole signature subtree (scan + shingle explode + 32-agg,
+        # twice). Instead groupBy (band, bucket) → collect_set(doc) and
+        # emit the a<b pairs per bucket with higher-order functions —
+        # one scan, one signature pass, 3 shuffles total. Bucket member
+        # lists are small by LSH design (a pathological all-identical
+        # corpus is quadratic either way — same as the join).
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("doc")).alias("ds"))
+            .where(F.size("ds") >= 2)
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+    else:
+        postings = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col)).alias("shingle"),
+        ).withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        h = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
+        minh = (
+            postings.select("doc", "i", h.alias("h"))
+            .groupBy("doc", "i")
+            .agg(F.min("h").alias("h"))
+        )
+        banded = (
+            minh.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+            .groupBy("doc", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("i", "h"))),
+                            lambda s: s["h"],
+                        ),
+                    )
+                ).alias("bucket")
+            )
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -144,6 +144,28 @@ def test_ngram_jaccard_default_caps_shingle_df(spark):
     assert "LeftAnti" not in txt_exact
 
 
+def test_minhash_fast_path_single_signature_aggregate(spark):
+    """The DEFAULT (xxhash64) minhash path must compute the whole signature
+    as one groupBy(doc) with num_hashes min-aggregates — NOT the
+    explode-per-hash-index shape, whose shuffle carries num_hashes× the
+    shingle rows. Pin: exactly one aggregation keyed on doc alone before the
+    bucket self-join (the md5 oracle shape has an extra (doc, i) grouping),
+    and no `sequence(0, ...)` hash-index generator in the plan."""
+    from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    txt = plan_stats(minhash_lsh_candidates(docs, reproducible=False)).text
+    assert "m31" in txt, txt[:2000]  # 32nd signature slot is a named agg output
+    # joinless pair generation: ONE scan (a self-join would duplicate the
+    # whole signature subtree), no join operator at all.
+    tree = txt.split("\n\n")[0]  # formatted-plan tree, before the node details
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    # one partial+final signature agg + one partial+final pair-distinct = 4
+    # HashAggregates (bucket collect_set is an ObjectHashAggregate pair).
+    assert tree.replace("ObjectHashAggregate", "OHA").count("HashAggregate") == 4, tree
+
+
 def test_embedding_near_dup_default_is_bucketed(spark):
     """The DEFAULT embedding near-dup must join within LSH buckets, never
     all-pairs (no cross join in the plan); all-pairs is the explicit
