@@ -1047,6 +1047,89 @@ SELECT MIN(node) AS keeper_id,
 FROM lab GROUP BY component
 """
 
+_STOPWORDS_SQL_LIST = (
+    "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as',"
+    "'at','by','it','this','that','be','from','not','have','has','had','you','he','she',"
+    "'they','we','i']"
+)
+
+# the same jaccard-pairs → recursive-reachability → components CTE chain as
+# _DEDUP_CLUSTERS_SQL, shared by the keep-best oracle below
+_SQL_CLUSTER_LAB = """
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+),
+lab AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup survivors: docs outside any jaccard duplicate
+    cluster plus the highest-quality member per cluster (tie → min doc_id).
+    operators/components.py keep_best_per_cluster; score =
+    functions/text.py expr_quality_score (rounded to 6 on both engines, so
+    rank ties resolve identically via the id tie-break)."""
+    from graph_stream_zoomer_spark.functions.text import expr_quality_score
+    from graph_stream_zoomer_spark.operators.components import keep_best_per_cluster
+    from graph_stream_zoomer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=None)
+    return keep_best_per_cluster(docs, pairs, expr_quality_score("text"))
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+{_SQL_CLUSTER_LAB.strip()},
+q AS (
+  SELECT doc_id,
+         ROUND(
+           0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0)
+           + 0.3 * (1.0 - CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 1.0 END)
+           + 0.3 * least(1.0, 4.0 * CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+               THEN CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    x -> list_contains({_STOPWORDS_SQL_LIST}, x))) AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               ELSE 0.0 END)
+         , 6) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT l.node, l.component, q.score,
+         ROW_NUMBER() OVER (PARTITION BY l.component ORDER BY q.score DESC, l.node ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.component) AS n_members
+  FROM lab l JOIN q ON q.doc_id = l.node
+)
+SELECT q.doc_id, q.score, CAST(1 AS BIGINT) AS n_members
+FROM q WHERE q.doc_id NOT IN (SELECT node FROM lab)
+UNION ALL
+SELECT node AS doc_id, score, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
@@ -1434,12 +1517,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS_SQL_LIST = (
-    "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as',"
-    "'at','by','it','this','that','be','from','not','have','has','had','you','he','she',"
-    "'they','we','i']"
-)
-
 _TEXT_STATS_SQL = f"""
 WITH scored AS (
   SELECT source,
@@ -1822,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1877,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _KEEP_BEST_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,

@@ -199,3 +199,53 @@ def duplicate_clusters(
         )
         .select("keeper_id", "n_members", "members")
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Quality-priority dedup survivors: every doc outside any duplicate
+    cluster, plus the highest-``score`` member of each cluster (tie →
+    smallest id). The standard last step of a training-data dedup pipeline
+    when "keep one copy" should keep the best copy, not the min-id one.
+
+    ``score`` is a Column over ``docs`` (e.g. ``expr_quality_score("text")``
+    — already rounded, so cross-engine rank ties resolve identically by the
+    id tie-break).
+
+    Plan shape: components over the pair edges (see connected_components),
+    one broadcast-able join of the (tiny) member set against the scored
+    docs, one rank window partitioned BY COMPONENT (never a global sort),
+    and an anti-join for the untouched docs. The member set is a vanishing
+    fraction of the corpus at any real dup rate, so everything after the
+    pair emitter is cheap at 100 TB.
+    """
+    cc = connected_components(
+        pairs, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    scored = docs.select(F.col(id_col).cast("long").alias("doc"), score.alias("score"))
+    members = cc.join(scored, cc["node"] == F.col("doc"), "inner")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col("node").asc()
+    )
+    sized = members.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    keepers = sized.where(F.col("rn") == 1).select(
+        F.col("node").alias(id_col), "score", "n_members"
+    )
+    uniques = (
+        scored.join(cc, scored["doc"] == cc["node"], "left_anti")
+        .select(F.col("doc").alias(id_col), "score")
+        .withColumn("n_members", F.lit(1).cast("long"))
+    )
+    return uniques.unionByName(keepers)

@@ -328,6 +328,30 @@ def test_connected_components_multihop(spark):
     }
 
 
+def test_keep_best_per_cluster(spark):
+    """Survivor selection keeps the highest-score member per cluster (NOT
+    the min id), ties break to the smaller id, and docs outside every
+    cluster survive untouched with n_members=1."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.components import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (10, 0.5), (11, 0.5), (7, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["n_members"])
+        for r in keep_best_per_cluster(docs, pairs, F.col("q")).collect()
+    }
+    # cluster {1,2,3,4}: 2 and 3 tie at 0.9 → 2 wins (smaller id)
+    # cluster {10,11}: tie at 0.5 → 10 wins; 7 is untouched (singleton)
+    assert out == {2: (0.9, 4), 10: (0.5, 2), 7: (0.0, 1)}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """With checkpoint_dir set, lineage truncation uses reliable
     df.checkpoint() (survives executor loss on a real cluster) and results
