@@ -223,3 +223,62 @@ def test_rocksdb_state_store_matches_batch(spark, tmp_path, turns_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_stateless_text_ops_are_stream_transparent(spark, tmp_path):
+    """The stateless hygiene ops run UNCHANGED on a streaming DataFrame:
+    pii redaction is a pure projection (directly streamable, append mode,
+    no watermark needed); quality_filter aggregates strictly within one
+    doc row, so its streaming form is the same function inside
+    foreachBatch. Both must emit byte-identical rows to the batch run."""
+    from graph_stream_zoomer_spark.functions.text import expr_pii_counts, expr_redact_pii
+    from graph_stream_zoomer_spark.operators.quality import quality_filter
+
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (1, "mail me at alice@example.com or 10.0.0.1", "en"),
+        (2, "clean text " * 30, "en"),
+        (3, "short", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        docs_dir
+    )
+    batch_docs = spark.read.parquet(docs_dir)
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(docs_dir)
+
+    # pure-projection op: identical transformation object on both
+    def redact(df):
+        return df.select(
+            "doc_id", expr_redact_pii("text").alias("clean"), *expr_pii_counts("text")
+        )
+
+    out_redact = str(tmp_path / "out_redact")
+    (
+        redact(stream_docs)
+        .writeStream.format("parquet")
+        .option("path", out_redact)
+        .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(map(tuple, spark.read.parquet(out_redact).collect()))
+    want = sorted(map(tuple, redact(batch_docs).collect()))
+    assert got == want and len(got) == 3
+
+    # per-doc aggregate op: same function via foreachBatch
+    out_q = str(tmp_path / "out_q")
+
+    def sink(bdf, _bid):
+        quality_filter(bdf).write.mode("append").parquet(out_q)
+
+    (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got_q = sorted(map(tuple, spark.read.parquet(out_q).collect()))
+    want_q = sorted(map(tuple, quality_filter(batch_docs).collect()))
+    assert got_q == want_q and len(got_q) == 3
