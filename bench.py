@@ -174,6 +174,17 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         # single-groupBy vote-agg signature path (no num_hashes× explode)
         lambda: minhash_lsh_candidates(docs, reproducible=False).count(),
     )
+
+    def _pipeline_keep_best():
+        # the realistic end-to-end dedup pipeline: fast minhash pair
+        # emission → connected components → quality-priority survivors
+        from graph_stream_zoomer_spark.functions.text import expr_quality_score
+        from graph_stream_zoomer_spark.operators.components import keep_best_per_cluster
+
+        pairs = minhash_lsh_candidates(docs, reproducible=False)
+        return keep_best_per_cluster(docs, pairs, expr_quality_score("text")).count()
+
+    run("dedup_pipeline_keep_best", _pipeline_keep_best)
     run(
         "dedup_ngram_jaccard_capped",
         lambda: ngram_jaccard_pairs(docs, threshold=0.05).count(),  # default df cap
