@@ -1476,6 +1476,83 @@ QUALIFY rank <= 10
 """
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (operators/kmeans.py): 2 Lloyd
+    rounds from the md5-sampled init, centroids quantized to scaled ints
+    after every update so the oracle iterates on bit-identical literals;
+    reports the final model + its distributed cluster occupancy."""
+    from graph_stream_zoomer_spark.operators.kmeans import kmeans_centroids
+
+    return kmeans_centroids(
+        _emb(spark, sf_dir), n_centroids=8, n_iter=2, reproducible=True
+    )
+
+
+def _kmeans_iter_sql(prev: str, tag: str) -> str:
+    """One unrolled Lloyd round: assign (rounded cosine argmax, desc-id
+    tie-break) → per-dim mean → renormalize + requantize, empty/zero-norm
+    clusters keeping the previous centroid."""
+    return f"""
+sim{tag} AS (
+  SELECT u.vec_id, c.cluster_id, ROUND(SUM(u.x * (c.ci / 100000.0)), 5) AS sim
+  FROM u JOIN {prev} c ON c.i = u.i GROUP BY 1, 2
+),
+a{tag} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id DESC) AS rn
+    FROM sim{tag})
+  WHERE rn = 1
+),
+m{tag} AS (SELECT a{tag}.cluster_id, u.i, AVG(u.x) AS mx
+           FROM a{tag} JOIN u USING (vec_id) GROUP BY 1, 2),
+n{tag} AS (SELECT cluster_id, sqrt(SUM(mx * mx)) AS nrm FROM m{tag} GROUP BY 1),
+c{tag} AS (
+  SELECT p.cluster_id, p.i,
+         COALESCE(
+           CASE WHEN n{tag}.nrm > 0
+                THEN CAST(ROUND(m{tag}.mx / n{tag}.nrm * 100000) AS BIGINT) END,
+           p.ci) AS ci
+  FROM {prev} p
+  LEFT JOIN m{tag} ON m{tag}.cluster_id = p.cluster_id AND m{tag}.i = p.i
+  LEFT JOIN n{tag} ON n{tag}.cluster_id = p.cluster_id
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+u AS (SELECT e.vec_id, e.i, e.x / n.nrm AS x FROM e JOIN norms n USING (vec_id)),
+init AS (SELECT vec_id AS cluster_id FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+c0 AS (
+  SELECT init.cluster_id, u.i, CAST(ROUND(u.x * 100000) AS BIGINT) AS ci
+  FROM init JOIN u ON u.vec_id = init.cluster_id
+),{_kmeans_iter_sql("c0", "1")},{_kmeans_iter_sql("c1", "2")},
+simf AS (
+  SELECT u.vec_id, c.cluster_id, ROUND(SUM(u.x * (c.ci / 100000.0)), 5) AS sim
+  FROM u JOIN c2 c ON c.i = u.i GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id DESC) AS rn
+    FROM simf)
+  WHERE rn = 1
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM af GROUP BY 1)
+SELECT c2.cluster_id,
+       CAST(COALESCE(ANY_VALUE(s.n_members), 0) AS BIGINT) AS n_members,
+       string_agg(CAST(c2.ci AS VARCHAR), ',' ORDER BY c2.i) AS centroid
+FROM c2 LEFT JOIN sizes s USING (cluster_id)
+GROUP BY c2.cluster_id
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import norm_expr
 
@@ -1908,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_multi": q_ann_lsh_topk_multi,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "embedding_stats": q_embedding_stats,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1964,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_lsh_topk_multi": _ANN_LSH_MULTI_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "kmeans_centroids": _KMEANS_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_langid": _LANGID_SQL,

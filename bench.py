@@ -194,6 +194,28 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         lambda: embedding_near_duplicates(emb, threshold=0.4).count(),  # default buckets
     )
 
+    def _kmeans_train_ivf():
+        # coarse-quantizer training (Arrow matmul assignment, 2 Lloyd
+        # rounds — ~1.7 s/round of per-job fixed cost at this sf) + one
+        # trained-IVF probe pass. The recall payoff is pinned at it=4 in
+        # tests/test_kmeans.py (trained 0.85 vs sampled 0.70 @ probe=8)
+        from graph_stream_zoomer_spark.operators.kmeans import (
+            centroids_as_floats,
+            train_kmeans,
+        )
+        from graph_stream_zoomer_spark.operators.similarity import ivf_topk
+
+        cents = train_kmeans(emb, 16, 2, reproducible=False)
+        return ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 3),
+            k=10,
+            n_probe=8,
+            centroids=centroids_as_floats(cents),
+        ).count()
+
+    run("kmeans_train_ivf", _kmeans_train_ivf)
+
     return timings, extras
 
 

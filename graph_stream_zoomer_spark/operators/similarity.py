@@ -282,6 +282,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     reproducible: bool = False,
     decimals: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids = a deterministic pseudo-random
     corpus sample (``n_centroids`` smallest ``hash(id)`` — a distributed
@@ -290,24 +291,31 @@ def ivf_topk(
     a literal (the KMeans-style tiny-model broadcast); a query probes its
     ``n_probe`` nearest centroid cells only.
 
+    ``centroids``: inject a TRAINED coarse quantizer instead of the
+    sample — (centroid_id, components) pairs, e.g.
+    ``kmeans.centroids_as_floats(kmeans.train_kmeans(corpus))``.
+
     ``reproducible=True`` samples centroids by md5(id) instead of xxhash64
     and rounds the assignment similarity to 5 decimals (with centroid-id
     tie-break) so a SQL oracle derives the identical cell assignment and
     therefore the identical candidate set + top-k."""
-    order_key = (
-        F.md5(F.col("centroid_id").cast("string"))
-        if reproducible
-        else F.xxhash64(F.col("centroid_id"))
-    )
-    cent_rows = (
-        corpus.select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("centroid"),
+    if centroids is not None:
+        cent_rows: list = [{"centroid_id": cid, "centroid": comps} for cid, comps in centroids]
+    else:
+        order_key = (
+            F.md5(F.col("centroid_id").cast("string"))
+            if reproducible
+            else F.xxhash64(F.col("centroid_id"))
         )
-        .orderBy(order_key)
-        .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k, tiny driver merge
-        .collect()
-    )
+        cent_rows = (
+            corpus.select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("centroid"),
+            )
+            .orderBy(order_key)
+            .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k, tiny driver merge
+            .collect()
+        )
     import math
 
     cent_lits = []  # (centroid_id, unit-normalized centroid literal)
