@@ -148,6 +148,41 @@ FROM v GROUP BY 1, 2
 """
 
 
+def q_graph_group_role_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregate family (operators/aggregation.py
+    CollectSetProperty/CountDistinctProperty — beyond the reference's
+    numeric-only count/min/max/sum/avg): distinct property values per
+    super-vertex as a sorted comma-joined string plus the exact distinct
+    count, both via the streaming-legal collect_set form."""
+    from graph_stream_zoomer_spark import CollectSetProperty, CountDistinctProperty
+
+    sv = _grouped_vertices(
+        spark, sf_dir, _cfg(),
+        [":label"],
+        [Count(), CollectSetProperty("text_len"), CountDistinctProperty("text_len")],
+    )
+    p = F.col("vertex_properties")
+    return sv.select(
+        F.col("vertex_label"),
+        ((F.unix_millis(F.col("event_time").cast("timestamp")) + 1) / 1000).cast("bigint").alias("window_end_s"),
+        F.element_at(p, "count").cast("bigint").alias("cnt"),
+        F.element_at(p, "set_text_len").alias("set_text_len"),
+        F.element_at(p, "nd_text_len").cast("bigint").alias("nd_text_len"),
+    )
+
+
+_ROLE_SETS_SQL = f"""
+WITH {_SQL_T}
+SELECT role AS vertex_label,
+       {_win_end_s('ts')} AS window_end_s,
+       COUNT(*) AS cnt,
+       string_agg(DISTINCT CAST(length(text) AS VARCHAR), ','
+                  ORDER BY CAST(length(text) AS VARCHAR)) AS set_text_len,
+       CAST(COUNT(DISTINCT length(text)) AS BIGINT) AS nd_text_len
+FROM v GROUP BY 1, 2
+"""
+
+
 def q_graph_group_role_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregate family extension: exact interpolated
     percentiles (PercentileProperty, operators/aggregation.py) under the
@@ -1952,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_count_salted": _role_count_query({"salt_buckets": 8}),
         "graph_group_role_count_arrow": _role_count_query({"use_arrow_extraction": True}),
         "graph_group_role_minmax": q_graph_group_role_minmax,
+        "graph_group_role_sets": q_graph_group_role_sets,
         "graph_group_role_median": q_graph_group_role_median,
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_top_transitions": q_graph_group_top_transitions,
@@ -2009,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_count_salted": _ROLE_COUNT_SQL,
         "graph_group_role_count_arrow": _ROLE_COUNT_SQL,
         "graph_group_role_minmax": _ROLE_MINMAX_SQL,
+        "graph_group_role_sets": _ROLE_SETS_SQL,
         "graph_group_role_median": _ROLE_MEDIAN_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,

@@ -13,7 +13,9 @@ from .model import StreamGraph, split_triples
 from .operators.aggregation import (
     ApproxPercentileProperty,
     AvgProperty,
+    CollectSetProperty,
     Count,
+    CountDistinctProperty,
     MaxProperty,
     MinProperty,
     PercentileProperty,
@@ -25,7 +27,9 @@ from .operators.grouping import GraphStreamGrouping, GroupingBuilder
 __all__ = [
     "ApproxPercentileProperty",
     "AvgProperty",
+    "CollectSetProperty",
     "Count",
+    "CountDistinctProperty",
     "PercentileProperty",
     "StddevProperty",
     "GraphStreamGrouping",

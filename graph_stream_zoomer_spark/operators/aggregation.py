@@ -53,7 +53,18 @@ class AggregateFunction:
             if self.kind == "approx_percentile":
                 tag += "approx"
             return f"{tag}_{self.property_key}"
+        if self.kind == "collect_set":
+            return f"set_{self.property_key}"
+        if self.kind == "count_distinct":
+            return f"nd_{self.property_key}"
         return f"{self.kind}_{self.property_key}"
+
+    @property
+    def input_type(self) -> str:
+        """Promotion cast for the aggregate's input column: the numeric
+        family aggregates doubles; the set family keeps the raw property
+        STRING (property bags are map<string,string>)."""
+        return "string" if self.kind in ("collect_set", "count_distinct") else "double"
 
     # -- direct (single-phase) form -------------------------------------
     def agg_expr(self, input_col: str) -> Column:
@@ -70,6 +81,22 @@ class AggregateFunction:
             return F.approx_percentile(
                 F.col(input_col), F.lit(self.param), F.lit(10000)
             ).alias(self.output_key)
+        if self.kind == "collect_set":
+            # sorted comma-joined rendering (engine-portable; deterministic
+            # regardless of accumulation order); all-null group → NULL so the
+            # null-dropping property fold and SQL string_agg agree
+            return F.nullif(
+                F.array_join(F.array_sort(F.collect_set(F.col(input_col))), ","),
+                F.lit(""),
+            ).alias(self.output_key)
+        if self.kind == "count_distinct":
+            # size(collect_set) rather than countDistinct: same value, but
+            # legal in streaming aggregations (countDistinct is not), so the
+            # batch and streaming twins share one expression; state per group
+            # is bounded by the value cardinality
+            return (
+                F.size(F.collect_set(F.col(input_col))).cast("bigint").alias(self.output_key)
+            )
         fn = getattr(F, self.kind)
         return fn(F.col(input_col)).alias(self.output_key)
 
@@ -90,6 +117,9 @@ class AggregateFunction:
                 F.sum(F.col(input_col)).alias(p + "_sum"),
                 F.sum(F.col(input_col) * F.col(input_col)).alias(p + "_sq"),
             ]
+        if self.kind in ("collect_set", "count_distinct"):
+            # per-salt distinct sets merge exactly (set union is algebraic)
+            return [F.collect_set(F.col(input_col)).alias(p)]
         if self.kind in ("percentile", "approx_percentile"):
             # not algebraic: a per-salt partial would need an exposed
             # mergeable sketch buffer, which Spark SQL does not surface.
@@ -119,6 +149,13 @@ class AggregateFunction:
             return F.when(n >= 2, F.sqrt(var)).alias(self.output_key)
         if self.kind == "sum":
             return F.sum(F.col(p)).alias(self.output_key)
+        if self.kind in ("collect_set", "count_distinct"):
+            union = F.array_distinct(F.flatten(F.collect_list(F.col(p))))
+            if self.kind == "count_distinct":
+                return F.size(union).cast("bigint").alias(self.output_key)
+            return F.nullif(
+                F.array_join(F.array_sort(union), ","), F.lit("")
+            ).alias(self.output_key)
         fn = getattr(F, self.kind)
         return fn(F.col(p)).alias(self.output_key)
 
@@ -152,6 +189,31 @@ def StddevProperty(key: str) -> AggregateFunction:
     algebraic ((n, Σx, Σx²) partials), so it participates in the salted
     two-phase aggregation unlike the percentile family."""
     return AggregateFunction("stddev", key)
+
+
+def CollectSetProperty(key: str) -> AggregateFunction:
+    """Distinct property values per group, rendered as the sorted
+    comma-joined string (deterministic, engine-portable) — the graph-
+    summarization "which values occur in this super-vertex" aggregate the
+    reference family lacks. Streaming-legal (collect_set) and salt-
+    decomposable (set union is algebraic); state per group is bounded by
+    the property's value cardinality, so use on low-cardinality
+    properties (roles, tools, languages) at 100 TB.
+
+    Encoding caveat: the comma-join renders a set whose only member is
+    the empty string identically to the empty set (→ NULL, property
+    dropped); CountDistinctProperty still counts it. Pre-filter
+    empty-string property values if the distinction matters."""
+    return AggregateFunction("collect_set", key)
+
+
+def CountDistinctProperty(key: str) -> AggregateFunction:
+    """Exact distinct-value count per group via size(collect_set) — the
+    streaming-legal form (countDistinct raises in streaming aggregations),
+    shared verbatim by the batch and streaming twins. For unbounded-
+    cardinality keys at 100 TB prefer the HLL sketch
+    (approx_count_distinct, see `graph_group_window_users`)."""
+    return AggregateFunction("count_distinct", key)
 
 
 def PercentileProperty(key: str, p: float = 0.5) -> AggregateFunction:

@@ -224,7 +224,7 @@ class GraphStreamGrouping:
                 if a.property_key is not None:
                     cols.append(
                         make_extract_property_udf(a.property_key)(F.col(props_col))
-                        .cast("double")
+                        .cast(a.input_type)
                         .alias(self._agg_in(a))
                     )
         else:
@@ -234,7 +234,7 @@ class GraphStreamGrouping:
                 if a.property_key is not None:
                     cols.append(
                         extract_property(props_col, a.property_key)
-                        .cast("double")
+                        .cast(a.input_type)
                         .alias(self._agg_in(a))
                     )
         return df.select(*cols)

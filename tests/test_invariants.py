@@ -83,6 +83,63 @@ def test_salted_equals_unsalted(graph, keys, aggs):
     assert run(0) == run(13)
 
 
+def test_set_family_semantics_and_salting(graph):
+    """CollectSetProperty/CountDistinctProperty: the rendered set is
+    sorted, duplicate-free, and its size equals the exact distinct count;
+    the salted (partial collect_set → union merge) path is value-identical
+    to the unsalted one; groups whose only value is ''/null drop the set
+    property but still count correctly."""
+    from graph_stream_zoomer_spark import CollectSetProperty, CountDistinctProperty
+
+    g, _ = graph
+    # wider windows than the module fixture so 'tool' groups actually
+    # accumulate >1 distinct tool value
+    win = WindowConfig.tumbling(900, "SECONDS")
+
+    def run(salt):
+        c = StreamGraphConfig(window=win, salt_buckets=salt)
+        b = (
+            GroupingBuilder()
+            .add_vertex_grouping_keys([":label"])
+            .set_window_config(c.window)
+            .set_config(c)
+        )
+        for a in (
+            Count(),
+            CollectSetProperty("text_len"),
+            CountDistinctProperty("text_len"),
+            CollectSetProperty("tool"),  # fixture tool is ''/'search' only —
+            CountDistinctProperty("tool"),  # exercises the empty/caveat branch
+        ):
+            b.add_vertex_aggregate_function(a)
+        return g.apply(b.build()).vertices
+
+    rows = run(0).collect()
+    assert rows
+    seen_multi = False
+    for r in rows:
+        p = r["vertex_properties"]
+        nd = int(p["nd_text_len"])
+        vals = p["set_text_len"].split(",")
+        assert vals == sorted(vals) and len(set(vals)) == len(vals)
+        assert len(vals) == nd >= 1
+        seen_multi = seen_multi or nd > 1
+        if "set_tool" in p:
+            assert p["set_tool"] == "search" and int(p["nd_tool"]) == 1
+        else:
+            # empty set (0) or the only-empty-string encoding caveat (1)
+            assert int(p["nd_tool"]) <= 1
+    assert seen_multi  # the fixture must actually exercise real sets
+
+    def key(df):
+        return {
+            (r["vertex_label"], r["event_time"], tuple(sorted(r["vertex_properties"].items())))
+            for r in df.collect()
+        }
+
+    assert key(run(0)) == key(run(13))
+
+
 def test_min_le_avg_le_max(graph):
     g, cfg = graph
     op = (

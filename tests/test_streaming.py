@@ -282,3 +282,61 @@ def test_stateless_text_ops_are_stream_transparent(spark, tmp_path):
     got_q = sorted(map(tuple, spark.read.parquet(out_q).collect()))
     want_q = sorted(map(tuple, quality_filter(batch_docs).collect()))
     assert got_q == want_q and len(got_q) == 3
+
+
+def test_streaming_set_aggregates_match_batch(spark, tmp_path):
+    """CollectSetProperty/CountDistinctProperty in the streaming job: the
+    collect_set form is streaming-legal (countDistinct is not), and the
+    salted variant's partial-set → union merge runs inside foreachBatch —
+    both must reproduce the batch engine's values per (label, window)."""
+    from graph_stream_zoomer_spark import CollectSetProperty, CountDistinctProperty
+
+    turns = generate_transcripts(spark, 50, late_fraction_pct=0, skew=False)
+    d = str(tmp_path / "turns")
+    turns.unionByName(_sentinel(spark)).repartition(4).write.parquet(d)
+
+    def op(salt):
+        cfg = StreamGraphConfig(
+            window=WindowConfig.tumbling(WINDOW_S, "SECONDS"),
+            watermark_delay="10 seconds",
+            salt_buckets=salt,
+        )
+        return (
+            GroupingBuilder()
+            .add_vertex_grouping_key(":label")
+            .add_vertex_aggregate_function(Count())
+            .add_vertex_aggregate_function(CollectSetProperty("text_len"))
+            .add_vertex_aggregate_function(CountDistinctProperty("text_len"))
+            .add_edge_grouping_key(":label")
+            .add_edge_aggregate_function(Count())
+            .set_window_config(cfg.window)
+            .set_config(cfg)
+            .build()
+        )
+
+    graph = transcript_graph(turns, use_arrow=False)
+    want = {
+        (
+            r["vertex_label"],
+            r["event_time"],
+            r["vertex_properties"].get("set_text_len"),
+            int(r["vertex_properties"]["nd_text_len"]),
+        )
+        for r in graph.apply(op(0)).vertices.collect()
+    }
+
+    for i, salt in enumerate((0, 13)):
+        result = run_grouping_job(
+            spark, read_transcript_stream(spark, d), op(salt), str(tmp_path / f"out{i}")
+        )
+        df = result.vertex_sink.read(spark).where(F.col("window_start") < "2029-01-01")
+        got = {
+            (
+                r["vertex_label"],
+                r["event_time"],
+                r["set_text_len"],
+                int(r["nd_text_len"]),
+            )
+            for r in df.collect()
+        }
+        assert got == want, f"salt={salt}"
