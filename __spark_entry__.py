@@ -944,6 +944,37 @@ ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (operators/relevance.py lm_score):
+    add-0.5-smoothed unigram model self-trained on the corpus (one
+    term-key exchange, corpus scalars broadcast), then mean token
+    log10-prob + perplexity proxy per document."""
+    from graph_stream_zoomer_spark.operators.relevance import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+_LM_SCORES_SQL = f"""
+WITH {_SQL_TOKS},
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+model AS (
+  SELECT term, log10((c + 0.5) / (n + 0.5 * v)) AS lp
+  FROM counts, tot
+),
+scored AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(m.lp), 5) AS avg_logprob10
+  FROM tok t JOIN model m USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.avg_logprob10,
+       ROUND(POW(10, -s.avg_logprob10), 3) AS ppl10
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -2006,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "tfidf_scores": q_tfidf_scores,
         "top_terms": q_top_terms,
+        "lm_doc_scores": q_lm_doc_scores,
         "dedup_first_occurrence": q_dedup_first_occurrence,
         "table_profile": q_table_profile,
         "dedup_exact": q_dedup_exact,
@@ -2064,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _BM25_SQL,
         "tfidf_scores": _TFIDF_SQL,
         "top_terms": _TOP_TERMS_SQL,
+        "lm_doc_scores": _LM_SCORES_SQL,
         "dedup_first_occurrence": _FIRST_OCC_SQL,
         "table_profile": _PROFILE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -130,6 +130,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "text_repetition",
         "bm25_scores",
         "top_terms",
+        "lm_doc_scores",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -186,3 +186,87 @@ def term_count_sketch(
         ).alias("sk")
     ).first()
     return bytes(row["sk"])
+
+
+def unigram_model(
+    docs: DataFrame,
+    add_k: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train an add-k-smoothed unigram language model over the corpus:
+    ``(term, logprob10)`` with logprob10 = log10((c + k) / (N + k·V)).
+
+    Fully declarative — the corpus scalars (N total tokens, V vocabulary
+    size) are a single-row aggregate broadcast back onto the counts, so
+    training is ONE map-side-combined exchange on the term key and no
+    driver-side action. At 100 TB persist the result as a vocabulary
+    table (it is the reusable artifact)."""
+    toks = _spread(docs).select(F.explode(_tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log10(
+            (F.col("c") + F.lit(add_k))
+            / (F.col("_n") + F.lit(add_k) * F.col("_v"))
+        ).alias("logprob10"),
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+    decimals: int = 5,
+) -> DataFrame:
+    """CCNet-style language-model quality score per document: mean token
+    log10-probability under a unigram LM plus the perplexity proxy
+    ``ppl10 = 10^(-avg_logprob10)`` (lower = more typical of the corpus).
+    Gibberish / boilerplate-free filtering signal: CCNet (arXiv:1911.00359)
+    ranks CommonCrawl text by exactly this statistic (there with a KenLM
+    5-gram; the unigram form is the lib-free in-engine equivalent and the
+    oracle-checkable one).
+
+    ``model=None`` self-trains on ``docs`` (every token in-vocabulary);
+    pass a pre-trained :func:`unigram_model` frame to score a stream
+    against a reference corpus — out-of-vocabulary tokens then score NULL
+    and are excluded from the mean (pre-append an OOV row if you want
+    them penalized instead).
+
+    Plan: score pass = one term-key join of the postings against the
+    model, then one doc-key aggregate. At 100 TB either
+    ``broadcast_model=True`` (top-K vocabulary fits in memory; the tail's
+    mass is the smoothing constant) or leave the shuffle join and bucket
+    both sides by term. Token-less documents survive with n_tokens=0 and
+    NULL scores (LEFT join back onto the doc ids)."""
+    if model is None:
+        model = unigram_model(docs, add_k, text_col)
+    if broadcast_model:
+        model = F.broadcast(model)
+    toks = _spread(docs).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    scored = (
+        toks.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logprob10"), decimals).alias("avg_logprob10"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            "avg_logprob10",
+            F.round(F.pow(F.lit(10.0), -F.col("avg_logprob10")), 3).alias("ppl10"),
+        )
+    )

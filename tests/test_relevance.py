@@ -106,3 +106,59 @@ def test_count_min_sketch_bounds(spark, corpus):
         est = sk.estimateCount(term)
         assert est >= n, (term, est, n)
         assert est <= n + math.ceil(0.01 * total) + 1, (term, est, n)
+
+
+def test_lm_score_hand_computed(spark):
+    """Unigram LM with add-0.5 smoothing, hand-checked: common-token docs
+    score higher (less negative avg log10-prob, lower perplexity) than a
+    rare-token doc; token counts exact."""
+    from graph_stream_zoomer_spark.operators.relevance import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog and the bird"),
+            (2, "the cat"),
+            (3, "zyzzyva qoph"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # N=12 tokens, V=7 vocab; p(the)=(4+.5)/(12+3.5), p(zyzzyva)=(1+.5)/15.5
+    n, v, k = 12, 7, 0.5
+    lp = lambda c: math.log10((c + k) / (n + k * v))
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_logprob10"] == pytest.approx((lp(4) + lp(2)) / 2, abs=1e-5)
+    assert out[3]["avg_logprob10"] == pytest.approx(lp(1), abs=1e-5)
+    # ordering: common-token doc beats rare-token doc on both renderings
+    assert out[2]["avg_logprob10"] > out[3]["avg_logprob10"]
+    assert out[2]["ppl10"] < out[3]["ppl10"]
+    # token-less doc survives with NULL scores
+    assert out[4]["n_tokens"] == 0 and out[4]["avg_logprob10"] is None
+    # broadcast-model path is value-identical and plans a broadcast join
+    bc = lm_score(docs, broadcast_model=True)
+    assert {tuple(r) for r in bc.collect()} == {tuple(r) for r in out.values()}
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_score_pretrained_model_excludes_oov(spark):
+    """Cross-corpus scoring: tokens absent from the reference model drop
+    out of the mean (inner join), so a doc of pure OOV scores NULL with
+    its true token count intact."""
+    from graph_stream_zoomer_spark.operators.relevance import lm_score, unigram_model
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta beta gamma")], "doc_id bigint, text string"
+    )
+    model = unigram_model(ref)
+    new = spark.createDataFrame(
+        [(10, "beta beta unknownword"), (11, "neverseen tokens")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(new, model=model).collect()}
+    n, v, k = 4, 3, 0.5
+    assert out[10]["n_tokens"] == 2  # only the in-vocab tokens counted
+    assert out[10]["avg_logprob10"] == pytest.approx(
+        math.log10((2 + k) / (n + k * v)), abs=1e-5
+    )
+    assert out[11]["n_tokens"] == 0 and out[11]["ppl10"] is None
