@@ -1,16 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode/feature/resize kernels are REAL for PPM (P6) images — parsed and
-resized with pure numpy — and for baseline JPEG (JFIF), decoded/re-encoded
-by the in-tree T.81 codec (operators/jpeg.py: Annex K tables, Huffman,
-zigzag, 8×8 DCT — no imaging libs), so the image path runs end-to-end on
-actual pixels in this container for the dominant format. Remaining
-lib-bound formats (PNG, progressive JPEG, audio, video frame seeking) are
-declared stubs: they raise NotImplementedError unless ``fake=True``
-substitutes a deterministic payload-derived fake. The Spark-side plumbing —
-schema, batch iteration, partition-preserving projection — is identical for
-both; a real PIL/soundfile/pyav deployment only widens the format dispatch.
+Decode/feature/resize kernels are REAL — pure stdlib+numpy, no media
+libs — for PPM (P6), baseline JPEG (JFIF; in-tree T.81 codec
+operators/jpeg.py: Annex K tables, Huffman, zigzag, 8×8 DCT), PNG
+(operators/png.py: zlib inflate + all five scanline filters, gray/RGB/
+RGBA/palette), and WAV audio (operators/wav.py: PCM 8/16/32-bit +
+IEEE-float; feature = RMS amplitude). The image and audio paths
+therefore run end-to-end on actual pixels/samples in this container for
+the dominant interchange formats. Remaining lib-bound formats
+(progressive JPEG, 16-bit/Adam7 PNG, lossy audio codecs, video frame
+seeking) are declared stubs: they raise NotImplementedError unless
+``fake=True`` substitutes a deterministic payload-derived fake. The
+Spark-side plumbing — schema, batch iteration, partition-preserving
+projection — is identical for both; a real PIL/soundfile/pyav deployment
+only widens the format dispatch.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-row Python objects; keep
@@ -118,6 +122,30 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool):
             return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
         except ValueError:
             pass
+    if payload is not None and payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        # PNG — REAL stdlib-zlib + numpy decode (operators/png.py)
+        try:
+            from .png import parse_png
+
+            arr = parse_png(payload)
+            return (
+                float(arr.mean() / 255.0),
+                int(arr.shape[2]),
+                hashlib.sha256(payload).hexdigest(),
+            )
+        except ValueError:
+            pass
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # WAV — REAL PCM/float decode (operators/wav.py); audio feature =
+        # RMS amplitude in [0, 1], dim = channel count
+        try:
+            from .wav import parse_wav
+
+            samples, _rate = parse_wav(payload)
+            rms = float(np.sqrt(np.mean(np.square(samples)))) if samples.size else 0.0
+            return rms, int(samples.shape[1]), hashlib.sha256(payload).hexdigest()
+        except ValueError:
+            pass
     if not fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} requires media libs not present in this container"
@@ -203,6 +231,18 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
             rows = (np.arange(height) * h) // height
             cols = (np.arange(width) * w) // width
             return encode_jpeg(arr[rows][:, cols])
+        except ValueError:
+            pass
+    if payload is not None and payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        # PNG: real decode → nearest-neighbor resize → re-encode (lossless)
+        try:
+            from .png import encode_png, parse_png
+
+            arr = parse_png(payload)
+            h, w = arr.shape[:2]
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_png(arr[rows][:, cols])
         except ValueError:
             pass
     if not fake:
