@@ -281,8 +281,12 @@ def sample_frames(
     up to ``n_frames`` frame rows (uniformly spaced). mapInPandas is the
     right primitive because the fan-out happens inside the Arrow batch —
     no explode of a pre-materialized frame array, so a 4K video's frames
-    never coexist as one row. Deterministic fake: frame k = the k-th
-    payload slice; real kernel would pyav-seek to frame_ts_ms."""
+    never coexist as one row.
+
+    REAL for MJPEG-in-AVI (operators/avi.py — RIFF chunk walk; each
+    emitted frame is a standalone JPEG payload, timestamps from the
+    container's dwMicroSecPerFrame): inter-frame codecs remain the
+    declared stub. Deterministic fake: frame k = the k-th payload slice."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,6 +294,26 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"], strict=True):
                 if payload is None:
                     continue
+                if (
+                    len(payload) >= 12
+                    and payload[:4] == b"RIFF"
+                    and payload[8:12] == b"AVI "
+                ):
+                    # same sniff-don't-trust fallthrough as the image kernels
+                    try:
+                        from .avi import parse_mjpeg_avi
+
+                        all_frames, ivl_ms = parse_mjpeg_avi(payload)
+                        n = min(n_frames, len(all_frames))
+                        for k in range(n):
+                            src = (k * len(all_frames)) // n  # uniform spacing
+                            ids.append(mid)
+                            idxs.append(k)
+                            tss.append(src * ivl_ms)
+                            payloads.append(all_frames[src])
+                        continue
+                    except ValueError:
+                        pass
                 if not fake:
                     raise NotImplementedError(
                         "frame extraction requires video libs not present in this container"

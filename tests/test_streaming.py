@@ -340,3 +340,46 @@ def test_streaming_set_aggregates_match_batch(spark, tmp_path):
             for r in df.collect()
         }
         assert got == want, f"salt={salt}"
+
+
+def test_lm_score_streams_against_pretrained_model(spark, tmp_path):
+    """The production shape of LM quality scoring: the unigram model is
+    trained ONCE on a reference corpus (batch), then a document stream is
+    scored against it inside foreachBatch — per-doc aggregation is strictly
+    within a row's own tokens, so the same lm_score(model=...) call is the
+    streaming form, and its output must be byte-identical to batch."""
+    from graph_stream_zoomer_spark.operators.relevance import lm_score, unigram_model
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"the quick brown fox number {i} jumps") for i in range(8)],
+        "doc_id long, text string",
+    )
+    model = unigram_model(ref).cache()
+    model.count()
+
+    docs_dir = str(tmp_path / "lmdocs")
+    spark.createDataFrame(
+        [(1, "the quick fox"), (2, "entirely oov gibberish"), (3, "")],
+        "doc_id long, text string",
+    ).write.parquet(docs_dir)
+    batch_docs = spark.read.parquet(docs_dir)
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(docs_dir)
+
+    out = str(tmp_path / "lm_out")
+
+    def sink(bdf, _bid):
+        lm_score(bdf, model=model, broadcast_model=True).write.mode("append").parquet(out)
+
+    (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, lm_score(batch_docs, model=model, broadcast_model=True).collect())
+    )
+    model.unpersist()
+    assert got == want and len(got) == 3
