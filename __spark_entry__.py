@@ -1197,6 +1197,54 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span-level) dedup (operators/spans.py): merged
+    character spans of duplicated 40-char windows (stride 10), exempting
+    each span's globally-first occurrence (Lee et al. arXiv:2107.06499
+    keep-one policy); md5 `reproducible` mode for the oracle."""
+    from graph_stream_zoomer_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), span_len=40, stride=10, keep_first=True, reproducible=True
+    )
+
+
+_SPANS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) - 40 AS INT) AS last
+  FROM documents WHERE length(text) >= 40
+),
+wins AS (
+  SELECT doc_id, text,
+         UNNEST(list_distinct(list_append(generate_series(0, last, 10), last))) AS pos
+  FROM d
+),
+hashed AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(substr(text, CAST(pos AS INT) + 1, 40)) AS h
+  FROM wins
+),
+dup AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM hashed
+  WHERE h IN (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2)
+),
+kept AS (SELECT doc_id, pos FROM dup WHERE rk > 1),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM kept) t
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
 
@@ -2045,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2104,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "dedup_spans": _SPANS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,

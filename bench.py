@@ -186,6 +186,15 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         return keep_best_per_cluster(docs, pairs, expr_quality_score("text")).count()
 
     run("dedup_pipeline_keep_best", _pipeline_keep_best)
+
+    def _spans_strip():
+        # exact-substring dedup deployment path (xxhash64 windows) +
+        # keep-first strip fold, end to end
+        from graph_stream_zoomer_spark.operators.spans import strip_duplicate_spans
+
+        return strip_duplicate_spans(docs).count()
+
+    run("dedup_spans_strip", _spans_strip)
     run(
         "dedup_ngram_jaccard_capped",
         lambda: ngram_jaccard_pairs(docs, threshold=0.05).count(),  # default df cap

@@ -246,3 +246,19 @@ def test_quality_filter_no_nested_loop_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_duplicate_spans_two_keyed_exchanges_no_python(spark):
+    """Span dedup's plan contract: window emission is a pure projection,
+    the duplicate count + first-occurrence rank share ONE hash-keyed
+    exchange (no groupBy+join pair), the islands merge runs on ONE
+    doc-keyed exchange that the final merge aggregate reuses (subset
+    clustering) — and nothing falls back to a global-sort window or
+    Python."""
+    from graph_stream_zoomer_spark.operators.spans import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_spans(docs, already_parallel=True))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Exchange SinglePartition" not in plan  # no global-sort window
+    assert "Join" not in plan and "Python" not in plan
