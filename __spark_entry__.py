@@ -698,6 +698,32 @@ WHERE end_ts <= start_ts + INTERVAL 30 DAY
 """
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured promotion (functions/json.py): the events table's
+    JSON `props` payload parsed ONCE per row (from_json, explicit DDL),
+    field `k` promoted to a typed column and aggregated per event_type —
+    the discover→promote pipeline for opaque metadata columns."""
+    from graph_stream_zoomer_spark.functions.json import promote_json
+
+    ev = promote_json(load_events(spark, sf_dir), "props", ddl="k INT")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_k"),
+        F.round(F.avg("k"), 5).alias("avg_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 5) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/asof.py): each purchase turn matched
     to the latest click at-or-before it in the same user timeline — the
@@ -2079,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triples_join": q_graph_triples_join,
         "cep_sequence_match": q_cep_sequence_match,
         "cep_followed_by": q_cep_followed_by,
+        "events_json_promote": q_events_json,
         "asof_click": q_asof_click,
         "decontam_overlap": q_decontam_overlap,
         "text_repetition": q_text_repetition,
@@ -2139,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triples_join": _TRIPLES_JOIN_SQL,
         "cep_sequence_match": _CEP_SQL,
         "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
+        "events_json_promote": _EVENTS_JSON_SQL,
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "text_repetition": _REPETITION_SQL,
