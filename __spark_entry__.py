@@ -630,6 +630,106 @@ FROM b GROUP BY 1, 2
 """
 
 
+_BPE_N = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer (operators/bpe.py): 8 merges learned from the documents
+    corpus — ONE word-frequency shuffle, driver-side merge loop on the
+    distinct-word table. Oracle = the identical 8 rounds unrolled in SQL
+    (pair counts via list_zip, argmax with the same tie-break, merge
+    application as the same two boundary-regex passes)."""
+    from graph_stream_zoomer_spark.operators.bpe import merges_as_df, train_bpe
+
+    return merges_as_df(spark, train_bpe(_docs(spark, sf_dir), n_merges=_BPE_N))
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the corpus-trained 8-merge BPE tokenizer
+    — training + pure-Catalyst encode end-to-end, oracle-checked by the
+    same SQL unroll + encode chain."""
+    from graph_stream_zoomer_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    return bpe_token_counts(docs, train_bpe(docs, n_merges=_BPE_N))
+
+
+def _bpe_rep_sql(expr: str, i: int) -> str:
+    """One boundary-regex merge pass of round i's pair over ``expr``."""
+    return (
+        f"regexp_replace({expr}, "
+        f"'(^|\\s)' || (SELECT l FROM m{i}) || ' ' || (SELECT r FROM m{i}) || '(\\s|$)', "
+        f"'\\1' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || '\\2', 'g')"
+    )
+
+
+def _bpe_train_ctes(n: int) -> str:
+    parts = [
+        """v0 AS MATERIALIZED (
+  SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS wstr,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents) t
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, SUM(freq) AS cnt
+  FROM (SELECT freq, UNNEST(list_zip(s[1:len(s)-1], s[2:])) AS z
+        FROM (SELECT freq, string_split(wstr, ' ') AS s FROM v{i - 1}) q) zz
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r, CAST(cnt AS BIGINT) AS cnt "
+            f"FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        apply2 = _bpe_rep_sql(_bpe_rep_sql("wstr", i), i)
+        parts.append(f"v{i} AS MATERIALIZED (SELECT {apply2} AS wstr, freq FROM v{i - 1})")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS "rank", l AS "left", r AS "right", '
+        f'l || r AS merged, cnt AS pair_count FROM m{i}'
+        for i in range(1, n + 1)
+    )
+    return f"WITH {_bpe_train_ctes(n)}\n{rows}"
+
+
+def _bpe_counts_sql(n: int) -> str:
+    enc_parts = [
+        """e0 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+         array_to_string(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             w -> array_to_string(regexp_extract_all(w, '.'), ' ')), ' | ') AS enc
+  FROM documents
+)"""
+    ]
+    for i in range(1, n + 1):
+        apply2 = _bpe_rep_sql(_bpe_rep_sql("enc", i), i)
+        parts_sql = f"e{i} AS (SELECT doc_id, n_words, {apply2} AS enc FROM e{i - 1})"
+        enc_parts.append(parts_sql)
+    return (
+        f"WITH {_bpe_train_ctes(n)},\n"
+        + ",\n".join(enc_parts)
+        + f"""
+SELECT doc_id, n_words,
+       CAST(CASE WHEN n_words = 0 THEN 0
+                 ELSE len(string_split(enc, ' ')) - (n_words - 1) END AS BIGINT)
+         AS n_bpe_tokens
+FROM e{n}"""
+    )
+
+
+_BPE_MERGES_SQL = _bpe_merges_sql(_BPE_N)
+_BPE_COUNTS_SQL = _bpe_counts_sql(_BPE_N)
+
+
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified subsample (operators/packing.py
     deterministic_sample): 5 docs per (lang, source) stratum ranked by
@@ -2135,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "pack_sequences": q_pack_sequences,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "text_split_counts": q_text_split_counts,
         "doc_sample": q_doc_sample,
         "media_digests": q_media_digests,
@@ -2196,6 +2298,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
         "pack_sequences": _PACK_SQL,
+        "bpe_merges": _BPE_MERGES_SQL,
+        "bpe_token_counts": _BPE_COUNTS_SQL,
         "text_split_counts": _SPLIT_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
         "media_digests": _MEDIA_SQL,

@@ -119,6 +119,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_fingerprint",
         "dedup_clusters",
         "pack_sequences",
+        "bpe_token_counts",
         "asof_click",
         "conv_rollup",
         "interval_join_first5m",
