@@ -211,6 +211,21 @@ class ProgressListener:
                         "num_input_rows": p.numInputRows,
                         "processed_rows_per_sec": p.processedRowsPerSecond,
                         "state_operators": len(p.stateOperators),
+                        # per-operator state detail: the runtime evidence for
+                        # state-size claims (e.g. the slim pre-join projection
+                        # keeping text payloads out of join state). Guarded
+                        # per-field: availability varies by operator kind.
+                        "state_detail": [
+                            {
+                                "operator": getattr(so, "operatorName", None),
+                                "rows_total": getattr(so, "numRowsTotal", None),
+                                "rows_updated": getattr(so, "numRowsUpdated", None),
+                                "memory_bytes": getattr(
+                                    so, "memoryUsedBytes", None
+                                ),
+                            }
+                            for so in p.stateOperators
+                        ],
                     }
                 )
 
@@ -225,3 +240,22 @@ class ProgressListener:
 
     def detach(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self._listener)
+
+    def state_summary(self) -> dict[str, dict]:
+        """Peak per-operator state footprint across the run: {operator:
+        {peak_rows, peak_bytes, batches}} — the number you watch when
+        deciding state-store backend (heap vs RocksDB) and validating
+        that state carries only the columns it should."""
+        out: dict[str, dict] = {}
+        for batch in self.progress:
+            for so in batch.get("state_detail", []):
+                name = so["operator"] or "unknown"
+                cur = out.setdefault(
+                    name, {"peak_rows": 0, "peak_bytes": 0, "batches": 0}
+                )
+                cur["batches"] += 1
+                if so["rows_total"] is not None:
+                    cur["peak_rows"] = max(cur["peak_rows"], so["rows_total"])
+                if so["memory_bytes"] is not None:
+                    cur["peak_bytes"] = max(cur["peak_bytes"], so["memory_bytes"])
+        return out

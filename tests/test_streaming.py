@@ -91,8 +91,13 @@ def test_streaming_matches_batch(spark, tmp_path, turns_dir):
     # lineage recorded with per-partition counts
     assert os.path.exists(result.vertex_sink.lineage_path)
     assert all("partitions" in b for b in result.vertex_sink.metrics.batches)
-    # engine progress captured by the listener
+    # engine progress captured by the listener, with per-operator state
+    # detail (the runtime evidence for state-footprint claims)
     assert len(result.listener.progress) >= 1
+    summary = result.listener.state_summary()
+    assert summary, result.listener.progress[:2]
+    assert all(v["batches"] >= 1 for v in summary.values())
+    assert any(v["peak_rows"] > 0 for v in summary.values()), summary
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
