@@ -271,6 +271,30 @@ def test_stateless_text_ops_are_stream_transparent(spark, tmp_path):
     want = sorted(map(tuple, redact(batch_docs).collect()))
     assert got == want and len(got) == 3
 
+    # BPE encode against a pre-trained merge table is also a pure
+    # projection — same Column expression on the stream
+    from graph_stream_zoomer_spark.operators.bpe import encode_bpe_expr
+
+    merges = [("e", "x", 2), ("t", "ex", 2)]
+
+    def tok(df):
+        return df.select("doc_id", encode_bpe_expr("text", merges).alias("enc"))
+
+    out_tok = str(tmp_path / "out_tok")
+    (
+        tok(stream_docs)
+        .writeStream.format("parquet")
+        .option("path", out_tok)
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got_t = sorted(map(tuple, spark.read.parquet(out_tok).collect()))
+    want_t = sorted(map(tuple, tok(batch_docs).collect()))
+    assert got_t == want_t and len(got_t) == 3
+    assert any("tex t" in t[1] for t in got_t)  # merges actually applied
+
     # per-doc aggregate op: same function via foreachBatch
     out_q = str(tmp_path / "out_q")
 
