@@ -630,6 +630,33 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking (operators/packing.py): 120-char chunks
+    with 20-char overlap; the tail chunk always reaches the doc end. Pure
+    projection + explode — zero shuffle."""
+    from graph_stream_zoomer_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_len=120, overlap=20)
+
+
+_DOC_CHUNKS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(0, CAST((GREATEST(len - 20, 1) + 99) // 100 AS INT) - 1)) AS k
+  FROM d
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 100 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(k * 100 AS INT) + 1, 120)) AS BIGINT) AS n_chars,
+       substr(text, CAST(k * 100 AS INT) + 1, 120) AS chunk_text
+FROM g
+"""
+
+
 _BPE_N = 8
 
 
@@ -2237,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "doc_chunks": q_doc_chunks,
         "text_split_counts": q_text_split_counts,
         "doc_sample": q_doc_sample,
         "media_digests": q_media_digests,
@@ -2300,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_token_counts": _BPE_COUNTS_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
         "text_split_counts": _SPLIT_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
         "media_digests": _MEDIA_SQL,

@@ -150,3 +150,53 @@ def stratified_sample_rates(
         .where(bucket < F.col("_keep_ppm"))
         .drop("_keep_ppm")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int = 200,
+    overlap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length overlapping character chunks (the RAG / context-window
+    preparation step): chunk k starts at k·(chunk_len − overlap); the
+    chunk count is ceil(max(len − overlap, 1) / stride), so the final
+    chunk always reaches the end of the document (it may be shorter than
+    chunk_len, never empty) and no chunk is wholly contained in its
+    predecessor.
+
+    Pure projection + explode — zero shuffle, stream-transparent, and the
+    fan-out happens inside the row (no pre-materialized chunk array
+    survives the explode). Returns (id_col, chunk_idx, chunk_start,
+    n_chars, chunk_text). Deterministic and engine-portable (integer
+    arithmetic only), so it oracle-checks against plain SQL.
+    """
+    if chunk_len < 1 or overlap < 0 or overlap >= chunk_len:
+        raise ValueError("need chunk_len >= 1 and 0 <= overlap < chunk_len")
+    stride = chunk_len - overlap
+    dlen = F.length(F.col(text_col))
+    n_chunks = F.floor(
+        (F.greatest(dlen - overlap, F.lit(1)) + (stride - 1)) / stride
+    ).cast("int")
+    out = (
+        docs.where(dlen > 0)
+        .select(id_col, text_col)
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn("chunk_start", (F.col("chunk_idx") * stride).cast("bigint"))
+        .withColumn(
+            "chunk_text",
+            F.substring(
+                F.col(text_col), F.col("chunk_start").cast("int") + 1, chunk_len
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_start",
+        F.length("chunk_text").cast("bigint").alias("n_chars"),
+        "chunk_text",
+    )

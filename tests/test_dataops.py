@@ -669,3 +669,32 @@ def test_approx_distinct_tracks_exact(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
+
+
+def test_chunk_documents_boundaries(spark):
+    """Hand-computed chunk grids: len=100 at 40/10 (stride 30) → starts
+    0/30/60 with the tail chunk reaching the end; len ≤ chunk_len → one
+    full-doc chunk; empty docs drop; invalid params raise."""
+    import pytest as _pytest
+
+    from graph_stream_zoomer_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 40), (3, "z" * 5), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.n_chars)
+        for r in chunk_documents(docs, chunk_len=40, overlap=10).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 40), (1, 1, 30, 40), (1, 2, 60, 40),
+        (2, 0, 0, 40),
+        (3, 0, 0, 5),
+    ]
+    # overlap bytes really repeat between adjacent chunks
+    got = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in chunk_documents(docs, chunk_len=40, overlap=10).collect()}
+    assert got[(1, 0)][30:] == got[(1, 1)][:10]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_len=10, overlap=10)
