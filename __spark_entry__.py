@@ -851,6 +851,49 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score rate anomalies (operators/anomaly.py) over the
+    events table: 5-minute buckets per event_type, baseline = previous 12
+    observed buckets, mean/std in closed form from exact integer sums so
+    the score is bit-identical across engines."""
+    from graph_stream_zoomer_spark.operators.anomaly import rate_anomalies
+
+    return rate_anomalies(load_events(spark, sf_dir))
+
+
+_RATE_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket_start, n_events,
+         CAST(COUNT(*) OVER f AS BIGINT) AS trailing_n,
+         SUM(n_events) OVER f AS s,
+         SUM(n_events * n_events) OVER f AS s2
+  FROM c
+  WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_start, n_events, trailing_n,
+       CASE WHEN trailing_n >= 3
+                 AND (s2 - s * s / trailing_n) / (trailing_n - 1) > 0
+            THEN ROUND((n_events - s / trailing_n)
+                       / sqrt((s2 - s * s / trailing_n) / (trailing_n - 1)), 5)
+       END AS z_score,
+       COALESCE(
+         CASE WHEN trailing_n >= 3
+                   AND (s2 - s * s / trailing_n) / (trailing_n - 1) > 0
+              THEN ROUND((n_events - s / trailing_n)
+                         / sqrt((s2 - s * s / trailing_n) / (trailing_n - 1)), 5)
+                   > 3.0
+         END, FALSE) AS is_anomaly
+FROM w
+"""
+
+
 def q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/asof.py): each purchase turn matched
     to the latest click at-or-before it in the same user timeline — the
@@ -2233,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence_match": q_cep_sequence_match,
         "cep_followed_by": q_cep_followed_by,
         "events_json_promote": q_events_json,
+        "rate_anomalies": q_rate_anomalies,
         "asof_click": q_asof_click,
         "decontam_overlap": q_decontam_overlap,
         "text_repetition": q_text_repetition,
@@ -2297,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_sequence_match": _CEP_SQL,
         "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
         "events_json_promote": _EVENTS_JSON_SQL,
+        "rate_anomalies": _RATE_ANOMALY_SQL,
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "text_repetition": _REPETITION_SQL,

@@ -121,6 +121,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "pack_sequences",
         "bpe_token_counts",
         "asof_click",
+        "rate_anomalies",
         "conv_rollup",
         "interval_join_first5m",
         "pii_redact",
