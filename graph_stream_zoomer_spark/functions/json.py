@@ -1,5 +1,9 @@
 """Semi-structured (JSON string) column handling — typed metadata
 promotion for event/metadata payloads (e.g. the events table's ``props``).
+Beyond-reference addition (no graph-stream-zoomer counterpart; the
+closest analog is the reference's property-bag extraction, P1/P6 in
+SURVEY.md §2 — this is the same promote-to-typed-column step for opaque
+JSON instead of Gradoop property maps).
 
 Two stages of the standard pipeline pattern:
   1. DISCOVER: ``json_key_stats`` profiles which keys exist and how often —

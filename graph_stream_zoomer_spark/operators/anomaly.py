@@ -1,6 +1,8 @@
 """Rate-anomaly detection over an event stream: per-key time-bucket counts
 scored against a trailing-window baseline (z-score) — the monitoring /
 data-quality spike detector (ingest surges, bot bursts, broken producers).
+Beyond-reference addition (no graph-stream-zoomer counterpart): part of
+the training-data pipeline family, SURVEY.md §2.10.
 
 Plan shape (the 100 TB contract):
   ONE exchange keyed by the series key — ``repartition(key)`` up front, so
