@@ -1569,6 +1569,92 @@ WHERE ROUND(dot / (na.nrm * nb.nrm), 5) >= 0.4
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (operators/quant.py): per-vector scale +
+    codes + relative L2 reconstruction error. Rounding is explicit
+    floor(x+0.5) so both engines agree on halfway cases; codes render as a
+    comma-joined string (array hashing is engine-unreliable)."""
+    from graph_stream_zoomer_spark.operators.quant import quantize_embeddings
+
+    qd = quantize_embeddings(_emb(spark, sf_dir))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale_r"),
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("q_str"),
+        "rel_err",
+    )
+
+
+_QUANT_CTE = """
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v, s,
+         CASE WHEN s > 0 THEN
+           list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, floor(x / s + 0.5))) AS INT))
+         ELSE list_transform(v, x -> 0) END AS qv
+  FROM e
+)
+"""
+
+
+_EMB_QUANT_SQL = f"""
+WITH {_QUANT_CTE},
+m AS (
+  SELECT vec_id, s, qv,
+         list_sum(list_transform(list_zip(v, qv), z -> (z[1] - z[2] * s) * (z[1] - z[2] * s))) AS err2,
+         list_sum(list_transform(v, x -> x * x)) AS x2
+  FROM q
+)
+SELECT vec_id, ROUND(s, 8) AS scale_r,
+       array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS q_str,
+       CASE WHEN x2 > 0 THEN ROUND(sqrt(err2 / x2), 5) ELSE 0.0 END AS rel_err
+FROM m
+"""
+
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by quantized cosine: exact integer dot products over int8
+    codes, scaled — the 4×-smaller ANN form; recall@10 vs the float
+    baseline is floor-pinned in tests/test_quant.py."""
+    from graph_stream_zoomer_spark.operators.quant import int8_topk, quantize_embeddings
+
+    qd = quantize_embeddings(_emb(spark, sf_dir))
+    return int8_topk(qd, qd.where(F.col("vec_id") < 3), k=10)
+
+
+_ANN_INT8_SQL = f"""
+WITH {_QUANT_CTE},
+d AS (
+  SELECT c.vec_id AS neighbor_id, qq.vec_id AS query_id,
+         CAST(list_sum(list_transform(list_zip(c.qv, qq.qv),
+              z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS DOUBLE) AS num,
+         sqrt(CAST(list_sum(list_transform(c.qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(qq.qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) AS den
+  FROM q c CROSS JOIN (SELECT * FROM q WHERE vec_id < 3) qq
+  WHERE c.vec_id <> qq.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS cosine_q
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine_q
+FROM (
+  SELECT query_id, neighbor_id, cosine_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= 10
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
@@ -2295,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_int8_topk": q_ann_int8_topk,
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2360,6 +2448,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
+        "embedding_quantize": _EMB_QUANT_SQL,
+        "ann_int8_topk": _ANN_INT8_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
