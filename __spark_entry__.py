@@ -825,6 +825,68 @@ WHERE end_ts <= start_ts + INTERVAL 30 DAY
 """
 
 
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem — the generic
+    relational path at the test corpus's largest volume (600k rows at
+    sf0.1): filter pushed to the parquet scan, one map-side-combinable
+    groupBy on a 6-group key. Money/discount/tax are cents-scaled to
+    exact BIGINTs before summing (float SUM across partitions is
+    order-dependent; integer SUM is not), and the averages derive from
+    the exact sums — the same determinism discipline as the events
+    binding's value_c."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_price_c"),
+            F.sum(price_c * (100 - disc_c)).alias("sum_disc_price_c2"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_c3"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_c",
+            "sum_disc_price_c2",
+            "sum_charge_c3",
+            F.round(F.col("sum_qty") / F.col("count_order"), 5).alias("avg_qty"),
+            F.round(
+                F.col("sum_base_price_c") / F.col("count_order") / 100, 5
+            ).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(q) AS BIGINT) AS sum_qty,
+       CAST(SUM(pc) AS BIGINT) AS sum_base_price_c,
+       CAST(SUM(pc * (100 - dc)) AS BIGINT) AS sum_disc_price_c2,
+       CAST(SUM(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS sum_charge_c3,
+       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 5) AS avg_qty,
+       ROUND(CAST(SUM(pc) AS DOUBLE) / COUNT(*) / 100, 5) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured promotion (functions/json.py): the events table's
     JSON `props` payload parsed ONCE per row (from_json, explicit DDL),
@@ -2362,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence_match": q_cep_sequence_match,
         "cep_followed_by": q_cep_followed_by,
         "events_json_promote": q_events_json,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
         "rate_anomalies": q_rate_anomalies,
         "asof_click": q_asof_click,
         "decontam_overlap": q_decontam_overlap,
@@ -2429,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_sequence_match": _CEP_SQL,
         "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
         "events_json_promote": _EVENTS_JSON_SQL,
+        "tpch_pricing_summary": _TPCH_Q1_SQL,
         "rate_anomalies": _RATE_ANOMALY_SQL,
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,

@@ -105,6 +105,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     # --- operator-family queries over the driver tables ------------------
     qs = entry.queries()
     for name in [
+        "tpch_pricing_summary",  # biggest input: 600k lineitem rows at sf0.1
         "graph_group_role_count",
         "graph_group_role_count_salted",
         "graph_group_role_minmax",
