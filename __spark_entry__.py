@@ -887,6 +887,58 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: the big-join path — customer
+    (segment-filtered dim) BROADCAST into orders, orders ⋈ lineitem as
+    the one genuine shuffle join, revenue cents²-scaled to exact BIGINT,
+    global top-10 via TakeOrderedAndProject (never a full sort)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(pc * (100 - dc)).alias("revenue_c2"))
+        .orderBy(F.desc("revenue_c2"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c2 DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured promotion (functions/json.py): the events table's
     JSON `props` payload parsed ONCE per row (from_json, explicit DDL),
@@ -2425,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_followed_by": q_cep_followed_by,
         "events_json_promote": q_events_json,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
         "rate_anomalies": q_rate_anomalies,
         "asof_click": q_asof_click,
         "decontam_overlap": q_decontam_overlap,
@@ -2493,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_followed_by": _CEP_FOLLOWED_BY_SQL,
         "events_json_promote": _EVENTS_JSON_SQL,
         "tpch_pricing_summary": _TPCH_Q1_SQL,
+        "tpch_shipping_priority": _TPCH_Q3_SQL,
         "rate_anomalies": _RATE_ANOMALY_SQL,
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,

@@ -106,6 +106,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     qs = entry.queries()
     for name in [
         "tpch_pricing_summary",  # biggest input: 600k lineitem rows at sf0.1
+        "tpch_shipping_priority",  # 3-table join path at the same volume
         "graph_group_role_count",
         "graph_group_role_count_salted",
         "graph_group_role_minmax",

@@ -262,3 +262,18 @@ def test_duplicate_spans_two_keyed_exchanges_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
     assert "Exchange SinglePartition" not in plan  # no global-sort window
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_tpch_q3_broadcasts_dim_and_takeordered(spark):
+    """The relational big-join path: segment-filtered customer must come
+    in as a broadcast hash join, the lineitem⋈orders join is the one
+    shuffle join, and the global top-10 is TakeOrderedAndProject — never
+    a full sort."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_shipping_priority"](spark, SF_DIR)
+    st = plan_stats(df)
+    assert st.num_broadcast_joins >= 1, st.text[:3000]
+    assert "BroadcastNestedLoopJoin" not in st.text and "CartesianProduct" not in st.text
+    assert "TakeOrderedAndProject" in st.text, st.text[:3000]
+    assert any("l_shipdate" in f or "o_orderdate" in f for f in st.pushed_filters), st.pushed_filters
