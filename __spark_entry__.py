@@ -1769,6 +1769,67 @@ WHERE rk <= 10
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/pq.py): 64-dim vectors → 8 codes
+    (m=8 subspaces × k=16 entries) against the md5-sampled reproducible
+    codebooks + relative reconstruction error. The oracle re-derives the
+    same codebooks (ROW_NUMBER over md5(id)) and the same argmin
+    (round-8 distance, code tie-break) in SQL."""
+    from graph_stream_zoomer_spark.operators.pq import pq_encode, sample_pq_codebooks
+
+    emb = _emb(spark, sf_dir)
+    return pq_encode(emb, sample_pq_codebooks(emb, 64))
+
+
+def _pq_sql(m: int = 8, d: int = 8, k: int = 16) -> str:
+    subs = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, v[{s * d + 1}:{s * d + d}] AS xs FROM base"
+        for s in range(m)
+    )
+    csubs = "\n  UNION ALL ".join(
+        f"SELECT j, {s} AS s, cv[{s * d + 1}:{s * d + d}] AS cs FROM samp"
+        for s in range(m)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+         v AS cv
+  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+),
+subs AS MATERIALIZED ({subs}),
+cs AS MATERIALIZED ({csubs}),
+dists AS (
+  SELECT b.vec_id, b.s, c.j,
+         list_sum(list_transform(list_zip(b.xs, c.cs),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+  FROM subs b JOIN cs c USING (s)
+),
+chosen AS (
+  SELECT vec_id, s, j, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY round(dist, 8), j) AS rk
+  FROM dists
+),
+agg AS (
+  SELECT vec_id,
+         string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
+         list_sum(list(dist ORDER BY s)) AS err2
+  FROM chosen WHERE rk = 1 GROUP BY vec_id
+),
+x2 AS (SELECT vec_id, list_sum(list_transform(v, x -> x * x)) AS xx FROM base)
+SELECT a.vec_id, a.codes,
+       CASE WHEN xx > 0 THEN ROUND(sqrt(err2 / xx), 5) ELSE 0.0 END AS rel_err
+FROM agg a JOIN x2 USING (vec_id)
+"""
+
+
+_PQ_SQL = _pq_sql()
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
@@ -2498,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_quantize": q_embedding_quantize,
+        "pq_codes": q_pq_codes,
         "ann_int8_topk": q_ann_int8_topk,
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2567,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "embedding_quantize": _EMB_QUANT_SQL,
+        "pq_codes": _PQ_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,

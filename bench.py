@@ -139,6 +139,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "ann_int8_topk",
+        "pq_codes",
         "embedding_stats",
         "text_stats",
         "media_digests",

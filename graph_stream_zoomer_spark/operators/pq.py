@@ -1,0 +1,167 @@
+"""Product quantization (PQ) — the last piece of the FAISS-style ANN
+compression stack (SQ8 in operators/quant.py, IVF + hyperplane LSH in
+operators/similarity.py, the coarse trainer in operators/kmeans.py).
+Beyond-reference addition (no graph-stream-zoomer counterpart),
+SURVEY.md §2.10; algorithm: Jégou et al., "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011).
+
+A dim-D vector splits into ``m`` contiguous subvectors of D/m dims; each
+subspace gets its own k-entry codebook, and a vector encodes as m small
+integers — e.g. 64 float32 dims (256 B) → 8 codes (8 B) at m=8, k=16.
+
+Codebooks come from either:
+  - ``sample_pq_codebooks``: k corpus rows picked by smallest md5(id)
+    (the IVF `reproducible` sampling precedent — a distributed
+    TakeOrderedAndProject, no training), sliced per subspace. Fully
+    SQL-reconstructible, so ``pq_encode`` over sampled codebooks is
+    oracle-checkable end-to-end.
+  - ``train_pq_codebooks``: per-subspace Lloyd's via the existing
+    distributed k-means trainer (operators/kmeans.py) — m tiny training
+    loops over sliced views of ONE corpus scan each round. The quality
+    path; its reconstruction-error win over sampling is floor-pinned in
+    tests/test_pq.py.
+
+Encoding is a pure zero-shuffle projection: the m×k codebook rides the
+plan as literals (tiny-model broadcast), each subspace distance is a
+chain of squared terms in FIXED dim order, and the argmin ranks on the
+(round(dist, 8), code) pair — float determinism discipline throughout,
+so codes AND the relative reconstruction error hash-match a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Codebooks = list[list[tuple[int, list[float]]]]  # [subspace][(code_id, centroid)]
+
+
+def _split_dims(dim: int, m: int) -> list[tuple[int, int]]:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    return [(s * d, d) for s in range(m)]
+
+
+def sample_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Codebook j (per subspace) = subvector of the corpus row with the
+    j-th smallest md5(id) — deterministic, engine-portable, collect ≤ k
+    rows (TakeOrderedAndProject)."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} rows < k={k}")
+    return [
+        [(j, list(r["v"][lo : lo + d])) for j, r in enumerate(rows)]
+        for lo, d in _split_dims(dim, m)
+    ]
+
+
+def _argmin_struct(vec: Column, lo: int, book: list[tuple[int, list[float]]], decimals: int) -> Column:
+    """(round(dist), code, raw dist) for the nearest codebook entry —
+    distances chained in fixed dim order; struct ordering never reaches
+    the raw field because the code is unique."""
+    cands = []
+    for j, comps in book:
+        dist: Column = F.lit(0.0)
+        for i, c in enumerate(comps):
+            term = F.element_at(vec, lo + i + 1) - F.lit(float(c))
+            dist = dist + term * term
+        cands.append(
+            F.struct(
+                F.round(dist, decimals).alias("d"),
+                F.lit(j).alias("j"),
+                dist.alias("raw"),
+            )
+        )
+    return F.array_min(F.array(*cands))
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Per-subspace EUCLIDEAN Lloyd's (PQ minimizes L2 reconstruction —
+    the spherical trainer in operators/kmeans.py optimizes cosine and its
+    unit-normalized centroids would be wrong here). Init = the md5 sample;
+    each round per subspace is ONE scan + ONE map-side-combinable groupBy
+    of d avg-aggregates, collect ≤ k rows (tiny-model broadcast loop).
+    Empty clusters keep their previous centroid."""
+    books = sample_pq_codebooks(emb, dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for s, (lo, d) in enumerate(_split_dims(dim, m)):
+        book = books[s]
+        for _ in range(n_iter):
+            code = _argmin_struct(vec, lo, book, 8)["j"]
+            upd = (
+                emb.select(
+                    code.alias("_code"),
+                    *[
+                        F.element_at(vec, lo + i + 1).alias(f"_x{i}")
+                        for i in range(d)
+                    ],
+                )
+                .groupBy("_code")
+                .agg(*[F.avg(f"_x{i}").alias(f"_m{i}") for i in range(d)])
+                .collect()
+            )
+            new = {r["_code"]: [float(r[f"_m{i}"]) for i in range(d)] for r in upd}
+            book = [(j, new.get(j, comps)) for j, comps in book]
+        books[s] = book
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+) -> DataFrame:
+    """Encode each vector as m codebook indices + the relative L2
+    reconstruction error √(Σ_s dist_s / Σx²) (round 5). Zero shuffle;
+    argmin per subspace ranks on (round(dist, decimals), code) so ties
+    break identically in any engine."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = len(codebooks)
+    dim = sum(1 for _ in codebooks[0][0][1]) * m
+    per_sub = [
+        _argmin_struct(vec, lo, codebooks[s], decimals).alias(f"_c{s}")
+        for s, (lo, _d) in enumerate(_split_dims(dim, m))
+    ]
+    out = emb.select(id_col, vec.alias("_v"), *per_sub)
+    err2: Column = F.lit(0.0)
+    for s in range(m):
+        err2 = err2 + F.col(f"_c{s}")["raw"]
+    x2 = F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    return out.select(
+        id_col,
+        F.concat_ws(
+            ",", *[F.col(f"_c{s}")["j"].cast("string") for s in range(m)]
+        ).alias("codes"),
+        F.when(x2 > 0, F.round(F.sqrt(err2 / x2), 5))
+        .otherwise(F.lit(0.0))
+        .alias("rel_err"),
+    )
+
+
+def mean_reconstruction_error(encoded: DataFrame) -> float:
+    """Corpus-mean relative reconstruction error of a pq_encode output —
+    the codebook-quality gauge (lower is better)."""
+    return float(encoded.agg(F.round(F.avg("rel_err"), 6)).first()[0])
