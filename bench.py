@@ -139,7 +139,6 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "ann_int8_topk",
-        "pq_codes",
         "embedding_stats",
         "text_stats",
         "media_digests",
@@ -231,6 +230,20 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         ).count()
 
     run("kmeans_train_ivf", _kmeans_train_ivf)
+
+    def _pq_encode_arrow():
+        # PQ deployment path: Arrow numpy encode (bit-identical to the
+        # Catalyst literal form, which pays ~20 s flat expression-compile
+        # cost — that form exists for the SQL oracle, not for scale)
+        from graph_stream_zoomer_spark.operators.pq import (
+            pq_encode,
+            sample_pq_codebooks,
+        )
+
+        books = sample_pq_codebooks(emb, 64)
+        return pq_encode(emb, books, use_arrow=True).count()
+
+    run("pq_encode_arrow", _pq_encode_arrow)
 
     return timings, extras
 

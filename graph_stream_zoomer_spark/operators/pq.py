@@ -133,11 +133,23 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 8,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Encode each vector as m codebook indices + the relative L2
     reconstruction error √(Σ_s dist_s / Σx²) (round 5). Zero shuffle;
     argmin per subspace ranks on (round(dist, decimals), code) so ties
-    break identically in any engine."""
+    break identically in any engine.
+
+    ``use_arrow=True`` is the deployment path: the Catalyst literal form
+    builds an m·k·d-term expression whose analysis/codegen cost is ~20 s
+    flat regardless of data size; the Arrow twin does the same math in
+    numpy — BIT-IDENTICAL, because distances accumulate sequentially
+    over dims (not np.sum's pairwise order), rounding is explicit
+    floor(x·10^p + 0.5) (numpy's round is half-even, Spark's is
+    half-up), and argmin tie-breaks on the smaller code like the struct
+    ordering. Parity is pinned by tests/test_pq.py."""
+    if use_arrow:
+        return _pq_encode_arrow(emb, codebooks, id_col, vec_col, decimals)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     m = len(codebooks)
     dim = sum(1 for _ in codebooks[0][0][1]) * m
@@ -159,6 +171,65 @@ def pq_encode(
         .otherwise(F.lit(0.0))
         .alias("rel_err"),
     )
+
+
+def _pq_encode_arrow(
+    emb: DataFrame,
+    codebooks: Codebooks,
+    id_col: str,
+    vec_col: str,
+    decimals: int,
+) -> DataFrame:
+    import numpy as np
+
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    dim = m * d
+    # [m][k][d] float64 — broadcast with the plan (tiny model)
+    books = [
+        np.array([comps for _, comps in book], dtype=np.float64)
+        for book in codebooks
+    ]
+    id_field = emb.schema[id_col]
+    scale_d = 10.0**decimals
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            err2 = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                xs = x[:, s * d : (s + 1) * d]
+                cb = books[s]
+                dist = np.zeros((n, cb.shape[0]), dtype=np.float64)
+                for i in range(d):  # sequential over dims ≡ the chained adds
+                    t = xs[:, i, None] - cb[None, :, i]
+                    dist += t * t
+                rounded = np.floor(dist * scale_d + 0.5) / scale_d  # half-up
+                c = np.argmin(rounded, axis=1)  # first min ≡ smaller-code tie-break
+                codes[:, s] = c
+                err2 += dist[np.arange(n), c]
+            x2 = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential ≡ F.aggregate fold order
+                x2 += x[:, i] * x[:, i]
+            rel = np.where(
+                x2 > 0, np.floor(np.sqrt(err2 / np.where(x2 > 0, x2, 1.0)) * 1e5 + 0.5) / 1e5, 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [",".join(map(str, row)) for row in codes],
+                    "rel_err": rel,
+                }
+            )
+
+    schema = f"{id_col} {id_field.dataType.simpleString()}, codes string, rel_err double"
+    return emb.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 def mean_reconstruction_error(encoded: DataFrame) -> float:

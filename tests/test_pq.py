@@ -48,3 +48,14 @@ def test_pq_guards(spark):
         sample_pq_codebooks(emb, 64, m=7)
     with pytest.raises(ValueError, match="rows"):
         sample_pq_codebooks(emb.limit(3), 64, k=16)
+
+
+def test_pq_arrow_path_is_bit_identical(spark):
+    """The Arrow encoder must reproduce the Catalyst literal path exactly
+    (codes AND rounded rel_err): sequential dim accumulation, half-up
+    rounding, first-min tie-break."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = sample_pq_codebooks(emb, 64)
+    cat = sorted(map(tuple, pq_encode(emb, books).collect()))
+    arr = sorted(map(tuple, pq_encode(emb, books, use_arrow=True).collect()))
+    assert cat == arr and len(cat) == 500
