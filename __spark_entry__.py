@@ -1781,7 +1781,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, sample_pq_codebooks(emb, 64))
 
 
-def _pq_sql(m: int = 8, d: int = 8, k: int = 16) -> str:
+def _pq_ctes(m: int = 8, d: int = 8, k: int = 16) -> str:
     subs = "\n  UNION ALL ".join(
         f"SELECT vec_id, {s} AS s, v[{s * d + 1}:{s * d + d}] AS xs FROM base"
         for s in range(m)
@@ -1808,12 +1808,17 @@ dists AS (
                                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
   FROM subs b JOIN cs c USING (s)
 ),
-chosen AS (
+chosen AS MATERIALIZED (
   SELECT vec_id, s, j, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id, s
                             ORDER BY round(dist, 8), j) AS rk
   FROM dists
-),
+)"""
+
+
+_PQ_SQL = (
+    _pq_ctes()
+    + """,
 agg AS (
   SELECT vec_id,
          string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
@@ -1825,9 +1830,50 @@ SELECT a.vec_id, a.codes,
        CASE WHEN xx > 0 THEN ROUND(sqrt(err2 / xx), 5) ELSE 0.0 END AS rel_err
 FROM agg a JOIN x2 USING (vec_id)
 """
+)
 
 
-_PQ_SQL = _pq_sql()
+_PQ_ADC_SQL = (
+    _pq_ctes()
+    + """,
+adc AS (
+  SELECT cc.vec_id AS neighbor_id, qd.vec_id AS query_id,
+         list_sum(list(qd.dist ORDER BY cc.s)) AS adist
+  FROM (SELECT vec_id, s, j FROM chosen WHERE rk = 1) cc
+  JOIN (SELECT vec_id, s, j, dist FROM dists WHERE vec_id < 3) qd
+    ON qd.s = cc.s AND qd.j = cc.j
+  WHERE cc.vec_id <> qd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+       ROUND(adist, 6) AS adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(adist, 6), neighbor_id) AS rk
+  FROM adc
+)
+WHERE rk <= 10
+"""
+)
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (operators/pq.py): corpus = 8-byte codes,
+    query = float vector turned into an m×k exact-distance lookup table
+    (driver-built, broadcast as a literal array per query row); distance =
+    Σ_s LUT[s][code_s], ranked on (round-6 dist, neighbor id)."""
+    from graph_stream_zoomer_spark.operators.pq import pq_adc_topk, sample_pq_codebooks
+
+    emb = _emb(spark, sf_dir)
+    books = sample_pq_codebooks(emb, 64)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    # Catalyst literal encode so the whole path (codes + LUT fold) is the
+    # reproducible oracle mode; the Arrow encode is bit-identical anyway
+    return pq_adc_topk(emb, queries, books, k=10, use_arrow_encode=False)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2560,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_quantize": q_embedding_quantize,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "ann_int8_topk": q_ann_int8_topk,
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2630,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "embedding_quantize": _EMB_QUANT_SQL,
         "pq_codes": _PQ_SQL,
+        "pq_adc_topk": _PQ_ADC_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,

@@ -232,6 +232,78 @@ def _pq_encode_arrow(
     return emb.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    use_arrow_encode: bool = True,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k — the search side of
+    PQ: the corpus is its 8-byte codes, each query stays float and turns
+    into an m×k lookup table of exact subspace distances (built
+    driver-side — m·k·d flops per query — and shipped as a literal array
+    per query row). Per corpus row, distance = Σ_s LUT[s][code_s]: one
+    broadcast cross join + a fold over m lookups, zero Python on the
+    corpus side after encoding, rank on (round(dist), neighbor id).
+
+    ``queries``: (query_id, full-dim vector) pairs — a handful of rows;
+    broadcast by construction."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    spark = corpus.sparkSession
+    q_rows = []
+    for qid, qv in queries:
+        lut: list[float] = []
+        for s, (lo, d) in enumerate(_split_dims(len(qv), m)):
+            for _, comps in codebooks[s]:
+                acc = 0.0
+                for i in range(d):
+                    t = float(qv[lo + i]) - float(comps[i])
+                    acc = acc + t * t
+                lut.append(acc)
+        q_rows.append((qid, lut))
+    qdf = spark.createDataFrame(q_rows, f"query_id bigint, lut array<double>")
+    enc = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, use_arrow=use_arrow_encode
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.split("codes", ","), lambda c: c.cast("int")).alias("carr"),
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"), s * kk + F.element_at(F.col("carr"), s + 1) + 1
+        ),
+    )
+    scored = enc.crossJoin(F.broadcast(qdf)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.round(dist, decimals).alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "adc_dist",
+        )
+    )
+
+
 def mean_reconstruction_error(encoded: DataFrame) -> float:
     """Corpus-mean relative reconstruction error of a pq_encode output —
     the codebook-quality gauge (lower is better)."""

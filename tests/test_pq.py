@@ -59,3 +59,30 @@ def test_pq_arrow_path_is_bit_identical(spark):
     cat = sorted(map(tuple, pq_encode(emb, books).collect()))
     arr = sorted(map(tuple, pq_encode(emb, books, use_arrow=True).collect()))
     assert cat == arr and len(cat) == 500
+
+
+def test_pq_adc_on_lossless_corpus(spark):
+    """When the corpus encodes losslessly, ADC distance IS the exact
+    squared L2 to the reconstruction — hand-checkable."""
+    from graph_stream_zoomer_spark.operators.pq import pq_adc_topk
+
+    books = [
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        [(0, [2.0, 2.0]), (1, [3.0, 3.0])],
+    ]
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 3.0, 3.0]),
+            (2, [1.0, 1.0, 2.0, 2.0]),
+            (3, [0.0, 0.0, 2.0, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.query_id, r.neighbor_id): (r.rank, r.adc_dist)
+        for r in pq_adc_topk(
+            emb, [(1, [0.0, 0.0, 3.0, 3.0])], books, k=2, use_arrow_encode=False
+        ).collect()
+    }
+    # d(q1, v3) = |(3,3)-(2,2)|^2 = 2; d(q1, v2) = 2*1 + 2*1 = 4
+    assert out[(1, 3)] == (1, 2.0) and out[(1, 2)] == (2, 4.0)
