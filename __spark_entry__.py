@@ -1871,9 +1871,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < 3).collect()
     ]
-    # Catalyst literal encode so the whole path (codes + LUT fold) is the
-    # reproducible oracle mode; the Arrow encode is bit-identical anyway
-    return pq_adc_topk(emb, queries, books, k=10, use_arrow_encode=False)
+    # Arrow encode: bit-identical to the Catalyst literal form by
+    # construction (pinned by tests/test_pq.py::test_pq_arrow_path_is_
+    # bit_identical) and skips its ~20 s flat expression-compile cost
+    return pq_adc_topk(emb, queries, books, k=10, use_arrow_encode=True)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
