@@ -62,3 +62,28 @@ def test_rate_anomalies_single_exchange(spark):
     assert st.num_exchanges == 1, st.text[:3000]
     assert "SinglePartition" not in st.text
     assert "EvalPython" not in st.text  # no Python UDFs in the plan
+
+
+def test_rate_anomalies_foreachbatch_form_matches_batch(spark, tmp_path):
+    """The documented streaming shape: the same function inside
+    foreachBatch over a bucket-complete slice emits byte-identical rows
+    to the batch run."""
+    src = str(tmp_path / "ev")
+    _events(spark).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = str(tmp_path / "out")
+
+    def sink(bdf, _bid):
+        rate_anomalies(bdf, bucket_seconds=60).write.mode("append").parquet(out)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, rate_anomalies(batch, bucket_seconds=60).collect()))
+    assert got == want and len(got) > 0
