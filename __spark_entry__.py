@@ -258,6 +258,64 @@ FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-graph analytics (operators/pagerank.py): integer-exact
+    PageRank over the role-transition graph (edges = role→next-role counts
+    from the successor binding) — 8 rounds, damping 0.85, ranks in exact
+    ppm BIGINTs so the iterative result hash-matches the SQL unroll."""
+    from pyspark.sql.window import Window
+
+    from graph_stream_zoomer_spark.operators.pagerank import pagerank_exact
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        "role", F.lead("role").over(w).alias("n_role")
+    ).where(F.col("n_role").isNotNull())
+    e = pairs.groupBy(
+        F.col("role").alias("src"), F.col("n_role").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    return pagerank_exact(e, weight_col="w", iters=8)
+
+
+def _pagerank_sql(iters: int = 8, damping_ppm: int = 850_000, scale: int = 1_000_000) -> str:
+    base = scale - damping_ppm
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT role AS src, n_role AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
+),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+r0 AS MATERIALIZED (
+  SELECT v, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM verts
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         CAST({base} // (SELECT n FROM nn) + COALESCE(s.inc, 0) AS BIGINT) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v,
+           SUM(({damping_ppm} * ((r.r * e.w) // ow.outw)) // {scale}) AS inc
+    FROM e JOIN r{i - 1} r ON r.v = e.src JOIN ow ON ow.src = e.src
+    GROUP BY 1
+  ) s ON s.v = verts.v
+)"""
+        )
+    return (
+        f"WITH {_SQL_T}, {_SQL_EDGES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vertex, r AS rank_ppm FROM r{iters}"
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
 def q_graph_group_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed top-k ranking composed over the edge-grouping operator
     output: the 3 most frequent role transitions per window (count desc,
@@ -2574,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_role_median": q_graph_group_role_median,
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_top_transitions": q_graph_group_top_transitions,
+        "graph_pagerank": q_graph_pagerank,
         "graph_group_window_users": q_graph_group_window_users,
         "graph_group_full": q_graph_group_full,
         "graph_group_property_textlen": q_graph_group_property_textlen,
@@ -2645,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_role_median": _ROLE_MEDIAN_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,
+        "graph_pagerank": _PAGERANK_SQL,
         "graph_group_window_users": _WINDOW_USERS_SQL,
         "graph_group_full": _FULL_SQL,
         "graph_group_property_textlen": _PROPERTY_SQL,

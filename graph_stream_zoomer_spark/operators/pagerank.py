@@ -1,0 +1,88 @@
+"""Integer-exact PageRank over a weighted edge list — summary-graph
+analytics, the downstream consumer of this engine's grouping output (the
+reference's super-vertex/super-edge stream exists precisely to feed graph
+analytics like this; reference has no analytics of its own — beyond-
+reference addition, SURVEY.md §2.10).
+
+All arithmetic is FIXED-POINT INTEGER (ranks in parts-per-``scale``,
+damping in ppm): each edge's contribution is truncated integer division,
+so per-round sums are order-free and the result is bit-identical across
+engines, partitionings, and runs — an iterative float algorithm made
+oracle-checkable (the DuckDB oracle unrolls the same rounds as
+MATERIALIZED CTEs; cf. the BPE/kmeans unroll precedent).
+
+Semantics: the standard damped PageRank with DANGLING MASS DROPPED
+(vertices without out-edges leak their rank; totals shrink accordingly) —
+the common simplification, documented rather than hidden. Out-weight
+splitting is proportional to edge weight.
+
+Scale shape: the per-round work is one ranks⋈edges join on src + one
+groupBy dst — both shuffles keyed by vertex; summary graphs (grouped
+labels) are small, but the plan is the generic edge-partitioned form that
+holds for billion-edge graphs. Lineage is truncated per round with
+``localCheckpoint`` (same caveat as operators/components.py: prefer a
+reliable checkpoint dir on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 8,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(vertex, rank_ppm) after ``iters`` rounds; rank_ppm is the rank in
+    parts-per-``scale`` as an exact BIGINT."""
+    if iters < 1 or not (0 < damping_ppm < scale):
+        raise ValueError("need iters >= 1 and 0 < damping_ppm < scale")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(F.col("v").alias("vertex"), F.lit(0).cast("bigint").alias("rank_ppm"))
+    ow = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = e.join(ow, "src").localCheckpoint(eager=True)
+    base = (scale - damping_ppm) // n
+    ranks = verts.select("v", F.lit(scale // n).cast("bigint").alias("r"))
+    for _ in range(iters):
+        inc = (
+            ew.join(ranks, ew.src == ranks.v)
+            .select(
+                F.col("dst").alias("v"),
+                F.expr(f"({damping_ppm} * ((r * w) div outw)) div {scale}").alias(
+                    "c"
+                ),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            verts.join(inc, "v", "left")
+            .select(
+                "v",
+                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank_ppm"))
