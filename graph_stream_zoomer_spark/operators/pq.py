@@ -304,6 +304,41 @@ def pq_adc_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact squared-L2 top-k (broadcast query side, round-then-rank with
+    id tie-break) — the ground truth ADC recall is measured against
+    (brute_force_topk in operators/similarity.py ranks by cosine, a
+    different metric)."""
+    from pyspark.sql.window import Window
+
+    vec = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), vec(vec_col).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(d2, decimals).alias("l2sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "l2sq")
+    )
+
+
 def mean_reconstruction_error(encoded: DataFrame) -> float:
     """Corpus-mean relative reconstruction error of a pq_encode output —
     the codebook-quality gauge (lower is better)."""

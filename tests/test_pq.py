@@ -86,3 +86,34 @@ def test_pq_adc_on_lossless_corpus(spark):
     }
     # d(q1, v3) = |(3,3)-(2,2)|^2 = 2; d(q1, v2) = 2*1 + 2*1 = 4
     assert out[(1, 3)] == (1, 2.0) and out[(1, 2)] == (2, 4.0)
+
+
+def test_pq_adc_recall_floors(spark):
+    """ADC search quality vs exact L2 on the adversarial random-vector
+    corpus (the worst case for PQ — no cluster structure; real embedding
+    corpora do substantially better): 8-byte codes (32× compression) must
+    clear a 0.1 recall@10 floor with sampled codebooks, and training must
+    strictly improve recall."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import l2_topk, pq_adc_topk
+    from graph_stream_zoomer_spark.operators.similarity import mean_recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = l2_topk(emb, emb.where(F.col("vec_id") < 10), k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 10).collect()
+    ]
+    r_sampled = mean_recall_at_k(
+        pq_adc_topk(emb, queries, sample_pq_codebooks(emb, 64), k=10), exact, k=10
+    )
+    r_trained = mean_recall_at_k(
+        pq_adc_topk(emb, queries, train_pq_codebooks(emb, 64, n_iter=3), k=10),
+        exact,
+        k=10,
+    )
+    assert r_sampled >= 0.1, r_sampled
+    assert r_trained > r_sampled, (r_trained, r_sampled)
