@@ -135,6 +135,15 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool):
             )
         except ValueError:
             pass
+    if payload is not None and payload.startswith(b"BM"):
+        # uncompressed 24/32-bit BMP — REAL decode (operators/bmp.py)
+        try:
+            from .bmp import parse_bmp
+
+            arr = parse_bmp(payload)
+            return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
+        except ValueError:
+            pass
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # WAV — REAL PCM/float decode (operators/wav.py); audio feature =
         # RMS amplitude in [0, 1], dim = channel count
@@ -243,6 +252,18 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
             rows = (np.arange(height) * h) // height
             cols = (np.arange(width) * w) // width
             return encode_png(arr[rows][:, cols])
+        except ValueError:
+            pass
+    if payload is not None and payload.startswith(b"BM"):
+        # uncompressed BMP: real decode → nearest-neighbor → 24-bit re-encode
+        try:
+            from .bmp import encode_bmp, parse_bmp
+
+            arr = parse_bmp(payload)
+            h, w, _ = arr.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_bmp(arr[rows][:, cols])
         except ValueError:
             pass
     if not fake:

@@ -197,3 +197,56 @@ def test_mjpeg_avi_frame_sampling_is_real(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|video libs"):
         sample_frames(junk, n_frames=2, fake=False).collect()
+
+
+def test_bmp_codec_ground_truth_and_spark_kernels(spark):
+    """BMP decode verified against a byte-level hand-built file (bottom-up
+    BGR rows with 4-byte padding), the encoder round-trips, top-down and
+    32-bit forms decode, and the Spark decode/resize kernels run REAL
+    (fake=False) on BMP payloads."""
+    import struct
+
+    from graph_stream_zoomer_spark.operators.bmp import encode_bmp, parse_bmp
+    from graph_stream_zoomer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    # hand-built 2x2 24-bit BMP: rows stored bottom-up, BGR, padded to 8 B
+    # image (top-down RGB): [[red, green], [blue, white]]
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    def bgr(px): return bytes([px[2], px[1], px[0]])
+    pix = (bgr(blue) + bgr(white) + b"\x00\x00"      # bottom row first
+           + bgr(red) + bgr(green) + b"\x00\x00")
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    img = parse_bmp(hdr + dib + pix)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == red and tuple(img[0, 1]) == green
+    assert tuple(img[1, 0]) == blue and tuple(img[1, 1]) == white
+
+    # encoder round-trip
+    assert (parse_bmp(encode_bmp(img)) == img).all()
+
+    # top-down (negative height) and 32-bit BGRA forms
+    pix_td = (bgr(red) + bgr(green) + b"\x00\x00" + bgr(blue) + bgr(white) + b"\x00\x00")
+    dib_td = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(pix_td), 0, 0, 0, 0)
+    assert (parse_bmp(hdr + dib_td + pix_td) == img).all()
+    pix32 = b"".join(bgr(p) + b"\xff" for p in (blue, white, red, green))
+    dib32 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(pix32), 0, 0, 0, 0)
+    assert (parse_bmp(hdr + dib32 + pix32) == img).all()
+
+    with pytest.raises(ValueError):
+        parse_bmp(b"BMnot really a bitmap" + b"\x00" * 60)
+
+    # Spark kernels: real decode (mean intensity) + real resize
+    media = spark.createDataFrame(
+        [(11, "image", encode_bmp(img), "image/bmp", 2, 2, None)], MEDIA_SCHEMA
+    )
+    feat = extract_features(media, fake=False).first()
+    assert feat.feat_mean == pytest.approx(float(img.mean() / 255.0)) and feat.feat_dim == 3
+    resized = resize_media(media, width=4, height=4, fake=False).first()
+    back = parse_bmp(bytes(resized.payload))
+    rows = (np.arange(4) * 2) // 4
+    assert back.shape == (4, 4, 3) and (back == img[rows][:, rows]).all()
