@@ -1935,6 +1935,78 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=10, use_arrow_encode=True)
 
 
+_IVFPQ_SQL = (
+    _pq_ctes()
+    + """,
+cdists AS MATERIALIZED (
+  SELECT b.vec_id, mm.j AS cid,
+         list_sum(list_transform(list_zip(b.v, mm.cv),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cdist
+  FROM base b CROSS JOIN samp mm
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY round(cdist, 8), cid) AS rk
+    FROM cdists
+  ) WHERE rk = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY round(cdist, 8), cid) AS rk
+    FROM cdists WHERE vec_id < 3
+  ) WHERE rk <= 4
+),
+adc AS (
+  SELECT cc.vec_id AS neighbor_id, p.query_id,
+         list_sum(list(qd.dist ORDER BY cc.s)) AS adist
+  FROM (SELECT vec_id, s, j FROM chosen WHERE rk = 1) cc
+  JOIN cells ON cells.vec_id = cc.vec_id
+  JOIN probes p ON p.cell = cells.cell
+  JOIN (SELECT vec_id, s, j, dist FROM dists WHERE vec_id < 3) qd
+    ON qd.vec_id = p.query_id AND qd.s = cc.s AND qd.j = cc.j
+  WHERE cc.vec_id <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+       ROUND(adist, 6) AS adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(adist, 6), neighbor_id) AS rk
+  FROM adc
+)
+WHERE rk <= 10
+"""
+)
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators/pq.py): corpus rows in their
+    L2-nearest coarse cell, queries probe their 4 nearest of 16 cells,
+    ADC distances over global PQ codes only for candidates in probed
+    cells. The md5 sample serves as both the coarse quantizer and the
+    PQ codebook source (n_centroids = k = 16), so the oracle re-derives
+    everything from one sampled row set."""
+    from graph_stream_zoomer_spark.operators.pq import (
+        ivfpq_topk,
+        sample_coarse_centroids,
+        sample_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    coarse = sample_coarse_centroids(emb, n_centroids=16)
+    books = sample_pq_codebooks(emb, 64, k=16)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    return ivfpq_topk(emb, queries, coarse, books, k=10, n_probe=4)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
@@ -2667,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_int8_topk": q_ann_int8_topk,
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2739,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _EMB_QUANT_SQL,
         "pq_codes": _PQ_SQL,
         "pq_adc_topk": _PQ_ADC_SQL,
+        "ann_ivfpq_topk": _IVFPQ_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,

@@ -339,6 +339,114 @@ def l2_topk(
     )
 
 
+def sample_coarse_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer = the n_centroids corpus rows with smallest
+    md5(id), full-dim (the IVF `reproducible` sampling precedent);
+    centroid ids are the md5 rank."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(j, list(r["v"])) for j, r in enumerate(rows)]
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    coarse: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    use_arrow_encode: bool = True,
+) -> DataFrame:
+    """IVF-PQ composed index (FAISS IndexIVFPQ shape, non-residual
+    variant — codes are global-codebook PQ of the raw vectors; residual
+    encoding would buy more recall at the cost of per-cell LUTs): corpus
+    rows land in their L2-nearest coarse cell ((round-8 dist, cell)
+    argmin — zero shuffle, centroid literals), each query probes its
+    ``n_probe`` nearest cells (driver-side exact arithmetic over the tiny
+    coarse model), and only candidates in probed cells get the ADC
+    distance. The probe set arrives as a broadcast (query_id, cell)
+    frame, so candidate selection is a broadcast semi-restriction — at
+    100 TB the corpus side can additionally be PARTITIONED/bucketed by
+    cell so a probe touches n_probe/n_centroids of the data."""
+    dim = len(coarse[0][1])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cell = _argmin_struct(vec, 0, coarse, 8)["j"]
+    enc = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, use_arrow=use_arrow_encode
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.split("codes", ","), lambda c: c.cast("int")).alias("carr"),
+    )
+    cells = corpus.select(F.col(id_col).alias("neighbor_id"), cell.alias("cell"))
+    m, kk = len(codebooks), len(codebooks[0])
+    spark = corpus.sparkSession
+    probe_rows, lut_rows = [], []
+    for qid, qv in queries:
+        cd = []
+        for cid, cv in coarse:
+            acc = 0.0
+            for i in range(dim):
+                t = float(qv[i]) - float(cv[i])
+                acc = acc + t * t
+            # same (round-8, id) ordering as the corpus-side argmin;
+            # explicit half-up (Python round is banker's, Spark/DuckDB
+            # round are half-up for positive values)
+            import math
+
+            cd.append((math.floor(acc * 1e8 + 0.5) / 1e8, cid))
+        for _, cid in sorted(cd)[:n_probe]:
+            probe_rows.append((qid, cid))
+        lut: list[float] = []
+        for s, (lo, d) in enumerate(_split_dims(dim, m)):
+            for _, comps in codebooks[s]:
+                acc = 0.0
+                for i in range(d):
+                    t = float(qv[lo + i]) - float(comps[i])
+                    acc = acc + t * t
+                lut.append(acc)
+        lut_rows.append((qid, lut))
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    luts = spark.createDataFrame(lut_rows, "query_id bigint, lut array<double>")
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .join(enc, "neighbor_id")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.col("lut"), s * kk + F.element_at(F.col("carr"), s + 1) + 1),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", F.round(dist, decimals).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "adc_dist",
+        )
+    )
+
+
 def mean_reconstruction_error(encoded: DataFrame) -> float:
     """Corpus-mean relative reconstruction error of a pq_encode output —
     the codebook-quality gauge (lower is better)."""

@@ -117,3 +117,53 @@ def test_pq_adc_recall_floors(spark):
     )
     assert r_sampled >= 0.1, r_sampled
     assert r_trained > r_sampled, (r_trained, r_sampled)
+
+
+def test_ivfpq_candidates_respect_probes_and_recall(spark):
+    """IVF-PQ: every returned neighbor must live in one of the query's
+    probed cells, and the cell restriction (probing 4 of 16 cells) must
+    not collapse recall vs full-scan ADC on the same codebooks."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import (
+        _argmin_struct,
+        ivfpq_topk,
+        l2_topk,
+        sample_coarse_centroids,
+    )
+    from graph_stream_zoomer_spark.operators.similarity import mean_recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    coarse = sample_coarse_centroids(emb)
+    books = sample_pq_codebooks(emb, 64)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 10).collect()
+    ]
+    out = ivfpq_topk(emb, queries, coarse, books, k=10, n_probe=4)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", _argmin_struct(vec, 0, coarse, 8)["j"].alias("cell")
+        ).collect()
+    }
+    import math
+
+    probe_sets = {}
+    for qid, qv in queries:
+        cd = []
+        for cid, cv in coarse:
+            acc = 0.0
+            for a, b in zip(qv, cv):
+                t = a - b
+                acc = acc + t * t
+            cd.append((math.floor(acc * 1e8 + 0.5) / 1e8, cid))
+        probe_sets[qid] = {cid for _, cid in sorted(cd)[:4]}
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(cells[r.neighbor_id] in probe_sets[r.query_id] for r in rows)
+    exact = l2_topk(emb, emb.where(F.col("vec_id") < 10), k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert mean_recall_at_k(out, exact, k=10) >= 0.1
