@@ -316,6 +316,78 @@ r0 AS MATERIALIZED (
 _PAGERANK_SQL = _pagerank_sql()
 
 
+def q_graph_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-graph structure analytics (operators/graphstats.py):
+    per-vertex directed degrees + weights and exact triangle counts over
+    the role-transition graph — canonical-ordering two-join triangle
+    enumeration, all-integer."""
+    from pyspark.sql.window import Window
+
+    from graph_stream_zoomer_spark.operators.graphstats import (
+        degree_stats,
+        triangle_counts,
+    )
+    from graph_stream_zoomer_spark.sources.events_binding import events_to_transcripts
+
+    t = events_to_transcripts(load_events(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select("role", F.lead("role").over(w).alias("n_role")).where(
+        F.col("n_role").isNotNull()
+    )
+    e = pairs.groupBy(
+        F.col("role").alias("src"), F.col("n_role").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    deg = degree_stats(e, weight_col="w")
+    tri = triangle_counts(e)
+    return deg.join(tri, "vertex", "left").select(
+        "vertex",
+        "out_degree",
+        "in_degree",
+        "out_weight",
+        "in_weight",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+
+
+_GRAPH_STRUCTURE_SQL = f"""
+WITH {_SQL_T}, {_SQL_EDGES},
+e AS MATERIALIZED (
+  SELECT role AS src, n_role AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM p WHERE n_role IS NOT NULL GROUP BY 1, 2
+),
+ce AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tc AS (
+  SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT vertex,
+         CAST(SUM(od) AS BIGINT) AS out_degree,
+         CAST(SUM(id_) AS BIGINT) AS in_degree,
+         CAST(SUM(ow) AS BIGINT) AS out_weight,
+         CAST(SUM(iw) AS BIGINT) AS in_weight
+  FROM (
+    SELECT src AS vertex, 1 AS od, 0 AS id_, w AS ow, 0 AS iw FROM e
+    UNION ALL
+    SELECT dst, 0, 1, 0, w FROM e
+  ) GROUP BY 1
+)
+SELECT d.vertex, d.out_degree, d.in_degree, d.out_weight, d.in_weight,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN tc USING (vertex)
+"""
+
+
 def q_graph_group_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed top-k ranking composed over the edge-grouping operator
     output: the 3 most frequent role transitions per window (count desc,
@@ -2705,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_edge_transition": q_graph_group_edge_transition,
         "graph_group_top_transitions": q_graph_group_top_transitions,
         "graph_pagerank": q_graph_pagerank,
+        "graph_structure": q_graph_structure,
         "graph_group_window_users": q_graph_group_window_users,
         "graph_group_full": q_graph_group_full,
         "graph_group_property_textlen": q_graph_group_property_textlen,
@@ -2778,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
         "graph_group_top_transitions": _TOP_TRANSITIONS_SQL,
         "graph_pagerank": _PAGERANK_SQL,
+        "graph_structure": _GRAPH_STRUCTURE_SQL,
         "graph_group_window_users": _WINDOW_USERS_SQL,
         "graph_group_full": _FULL_SQL,
         "graph_group_property_textlen": _PROPERTY_SQL,
