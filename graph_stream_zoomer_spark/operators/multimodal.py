@@ -144,6 +144,15 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool):
             return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
         except ValueError:
             pass
+    if payload is not None and payload.startswith(b"GIF8"):
+        # GIF — REAL LZW decode (operators/gif.py); feature = first frame
+        try:
+            from .gif import parse_gif
+
+            arr = parse_gif(payload)
+            return float(arr.mean() / 255.0), 3, hashlib.sha256(payload).hexdigest()
+        except ValueError:
+            pass
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # WAV — REAL PCM/float decode (operators/wav.py); audio feature =
         # RMS amplitude in [0, 1], dim = channel count
@@ -266,6 +275,18 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
             return encode_bmp(arr[rows][:, cols])
         except ValueError:
             pass
+    if payload is not None and payload.startswith(b"GIF8"):
+        # GIF: real decode (first frame) → nearest-neighbor → re-encode
+        try:
+            from .gif import encode_gif, parse_gif
+
+            arr = parse_gif(payload)
+            h, w, _ = arr.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_gif(arr[rows][:, cols])
+        except ValueError:
+            pass
     if not fake:
         raise NotImplementedError("resize requires image libs not present in this container")
     if payload is None:
@@ -315,6 +336,27 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"], strict=True):
                 if payload is None:
                     continue
+                if payload.startswith(b"GIF8"):
+                    # animated GIF — REAL multi-frame decode; each sampled
+                    # frame re-encodes as a standalone single-frame GIF,
+                    # timestamps from the cumulative GCE delays
+                    try:
+                        from .gif import encode_gif, parse_gif_frames
+
+                        gframes, gdelays = parse_gif_frames(payload)
+                        starts = [0]
+                        for dms in gdelays[:-1]:
+                            starts.append(starts[-1] + dms)
+                        n = min(n_frames, len(gframes))
+                        for k in range(n):
+                            src = (k * len(gframes)) // n  # uniform spacing
+                            ids.append(mid)
+                            idxs.append(k)
+                            tss.append(starts[src])
+                            payloads.append(encode_gif(gframes[src]))
+                        continue
+                    except ValueError:
+                        pass
                 if (
                     len(payload) >= 12
                     and payload[:4] == b"RIFF"

@@ -250,3 +250,49 @@ def test_bmp_codec_ground_truth_and_spark_kernels(spark):
     back = parse_bmp(bytes(resized.payload))
     rows = (np.arange(4) * 2) // 4
     assert back.shape == (4, 4, 3) and (back == img[rows][:, rows]).all()
+
+
+def test_gif_spark_kernels_run_real(spark):
+    """GIF through all three Spark kernels with fake=False: feature =
+    first-frame mean, resize round-trips through decode→NN→re-encode,
+    and animated GIFs frame-sample with cumulative-delay timestamps."""
+    from graph_stream_zoomer_spark.operators.gif import encode_gif, parse_gif
+    from graph_stream_zoomer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    frames = [palette[rng.randint(0, 4, size=(8, 8))] for _ in range(5)]
+    anim = encode_gif(frames, delays_ms=[50, 50, 100, 100, 50])
+    still = encode_gif(frames[0])
+
+    media = spark.createDataFrame(
+        [
+            (21, "image", still, "image/gif", 8, 8, None),
+            (22, "video", anim, "image/gif", 8, 8, 350),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert feats[21].feat_mean == pytest.approx(float(frames[0].mean() / 255.0))
+
+    resized = resize_media(
+        media.where("media_id = 21"), width=4, height=4, fake=False
+    ).first()
+    back = parse_gif(bytes(resized.payload))
+    rows = (np.arange(4) * 8) // 4
+    assert (back == frames[0][rows][:, rows]).all()
+
+    sampled = sorted(
+        sample_frames(media.where("media_id = 22"), n_frames=3, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    picked = [(k * 5) // 3 for k in range(3)]  # 0, 1, 3
+    starts = [0, 50, 100, 200, 300]
+    assert [r.frame_ts_ms for r in sampled] == [starts[p] for p in picked]
+    for r, p in zip(sampled, picked, strict=True):
+        assert (parse_gif(bytes(r.payload)) == frames[p]).all()
