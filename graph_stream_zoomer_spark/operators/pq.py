@@ -357,72 +357,172 @@ def sample_coarse_centroids(
     return [(j, list(r["v"])) for j, r in enumerate(rows)]
 
 
+def _half_up8(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e8 + 0.5) / 1e8
+
+
+def _nearest_cell_py(qv: list[float], coarse: list[tuple[int, list[float]]]) -> list[tuple[float, int]]:
+    """(round-8 L2², cid) pairs sorted like the corpus-side argmin —
+    explicit half-up (Python round is banker's; Spark/DuckDB round are
+    half-up for positive values)."""
+    cd = []
+    for cid, cv in coarse:
+        acc = 0.0
+        for a, b in zip(qv, cv):
+            t = float(a) - float(b)
+            acc = acc + t * t
+        cd.append((_half_up8(acc), cid))
+    return sorted(cd)
+
+
+def residual_frame(
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, _cell, _resid): each row's coarse cell and residual
+    (x − centroid[cell]) — the training/encoding input for residual PQ
+    (train residual codebooks with ``train_pq_codebooks(residual_frame(
+    ...), dim, vec_col="_resid")``)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cell = _argmin_struct(vec, 0, coarse, 8)["j"]
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(c)) for c in comps]) for _, comps in coarse]
+    )
+    resid = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.element_at(cent_arr, F.col("_cell") + 1),
+        lambda a, b: a - b,
+    )
+    # materialization boundary: without it Catalyst collapses the
+    # projection and inlines the 1024-term cell-argmin into every one of
+    # the 64 zip_with lanes of the residual (≈65k-term codegen → driver
+    # OOM). localCheckpoint truncates the plan at _cell.
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), cell.alias("_cell"))
+        .localCheckpoint(eager=False)
+        .withColumn("_resid", resid)
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
     coarse: list[tuple[int, list[float]]],
-    codebooks: Codebooks,
+    codebooks: Codebooks | None = None,
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
     use_arrow_encode: bool = True,
+    by_residual: bool = False,
+    pq_k: int = 16,
+    pq_m: int = 8,
 ) -> DataFrame:
-    """IVF-PQ composed index (FAISS IndexIVFPQ shape, non-residual
-    variant — codes are global-codebook PQ of the raw vectors; residual
-    encoding would buy more recall at the cost of per-cell LUTs): corpus
-    rows land in their L2-nearest coarse cell ((round-8 dist, cell)
-    argmin — zero shuffle, centroid literals), each query probes its
-    ``n_probe`` nearest cells (driver-side exact arithmetic over the tiny
-    coarse model), and only candidates in probed cells get the ADC
-    distance. The probe set arrives as a broadcast (query_id, cell)
-    frame, so candidate selection is a broadcast semi-restriction — at
-    100 TB the corpus side can additionally be PARTITIONED/bucketed by
-    cell so a probe touches n_probe/n_centroids of the data."""
+    """IVF-PQ composed index (FAISS IndexIVFPQ shape): corpus rows land in
+    their L2-nearest coarse cell ((round-8 dist, cell) argmin — zero
+    shuffle, centroid literals), each query probes its ``n_probe``
+    nearest cells (driver-side exact arithmetic over the tiny coarse
+    model), and only candidates in probed cells get the ADC distance.
+    The probe set arrives as a broadcast (query_id, cell) frame, so
+    candidate selection is a broadcast semi-restriction — at 100 TB the
+    corpus side can additionally be PARTITIONED/bucketed by cell so a
+    probe touches n_probe/n_centroids of the data.
+
+    ``by_residual=False``: codes are global-codebook PQ of the raw
+    vectors (``codebooks`` required) — one LUT per query, fully
+    SQL-oracle-checked (__spark_entry__.q_ann_ivfpq_topk).
+    ``by_residual=True`` (the FAISS default): vectors encode as PQ of
+    (x − centroid[cell]); codebooks are md5-sampled from RESIDUAL space
+    and each query builds one LUT per probed cell — n_probe× the LUT
+    work for finer distances (recall win pinned in tests/test_pq.py)."""
     dim = len(coarse[0][1])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cell = _argmin_struct(vec, 0, coarse, 8)["j"]
-    enc = pq_encode(
-        corpus, codebooks, id_col=id_col, vec_col=vec_col, use_arrow=use_arrow_encode
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.split("codes", ","), lambda c: c.cast("int")).alias("carr"),
-    )
     cells = corpus.select(F.col(id_col).alias("neighbor_id"), cell.alias("cell"))
-    m, kk = len(codebooks), len(codebooks[0])
     spark = corpus.sparkSession
-    probe_rows, lut_rows = [], []
-    for qid, qv in queries:
-        cd = []
-        for cid, cv in coarse:
-            acc = 0.0
-            for i in range(dim):
-                t = float(qv[i]) - float(cv[i])
-                acc = acc + t * t
-            # same (round-8, id) ordering as the corpus-side argmin;
-            # explicit half-up (Python round is banker's, Spark/DuckDB
-            # round are half-up for positive values)
-            import math
 
-            cd.append((math.floor(acc * 1e8 + 0.5) / 1e8, cid))
-        for _, cid in sorted(cd)[:n_probe]:
-            probe_rows.append((qid, cid))
-        lut: list[float] = []
-        for s, (lo, d) in enumerate(_split_dims(dim, m)):
-            for _, comps in codebooks[s]:
-                acc = 0.0
-                for i in range(d):
-                    t = float(qv[lo + i]) - float(comps[i])
-                    acc = acc + t * t
-                lut.append(acc)
-        lut_rows.append((qid, lut))
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
-    luts = spark.createDataFrame(lut_rows, "query_id bigint, lut array<double>")
+    if by_residual:
+        rframe = residual_frame(corpus, coarse, id_col=id_col, vec_col=vec_col)
+        if codebooks is None:
+            # sampled residual codebooks: md5-sampled rows' residuals
+            # (driver-exact). Skip the first n_centroids rows of the md5
+            # order — those ARE the coarse centroids (when coarse came
+            # from sample_coarse_centroids), and a centroid's own residual
+            # is the zero vector, which would collapse every codebook
+            # entry to ~0. NOTE: sampling in residual space is weak when
+            # the coarse quantizer misses the data's structure — prefer
+            # train_pq_codebooks over the residual frame (see
+            # tests/test_pq.py::test_ivfpq_residual_trained_wins_on_clusters).
+            n_skip = len(coarse)
+            samp = (
+                corpus.select(
+                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+                )
+                .orderBy(F.md5(F.col(id_col).cast("string")))
+                .limit(n_skip + pq_k)
+                .collect()
+            )[n_skip:]
+            if len(samp) < pq_k:
+                raise ValueError(
+                    f"corpus has only {len(samp)} rows < pq_k={pq_k} after skip"
+                )
+            sub = _split_dims(dim, pq_m)
+            res_samp = []
+            for r in samp:
+                v = list(r["v"])
+                cid = _nearest_cell_py(v, coarse)[0][1]
+                cv = dict(coarse)[cid]
+                res_samp.append([a - b for a, b in zip(v, cv)])
+            codebooks = [
+                [(j, rv[lo : lo + d]) for j, rv in enumerate(res_samp)]
+                for lo, d in sub
+            ]
+        # else: caller supplied RESIDUAL-space codebooks (e.g. trained via
+        # train_pq_codebooks over residual_frame(...))
+        enc = pq_encode(
+            rframe, codebooks, id_col=id_col, vec_col="_resid", use_arrow=use_arrow_encode
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.split("codes", ","), lambda c: c.cast("int")).alias("carr"),
+        )
+    else:
+        if codebooks is None:
+            raise ValueError("codebooks required when by_residual=False")
+        enc = pq_encode(
+            corpus, codebooks, id_col=id_col, vec_col=vec_col, use_arrow=use_arrow_encode
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.split("codes", ","), lambda c: c.cast("int")).alias("carr"),
+        )
+
+    m, kk = len(codebooks), len(codebooks[0])
+    cent_by_id = dict(coarse)
+    probe_rows = []
+    for qid, qv in queries:
+        for _, cid in _nearest_cell_py(qv, coarse)[:n_probe]:
+            base = (
+                [a - b for a, b in zip(qv, cent_by_id[cid])] if by_residual else qv
+            )
+            lut: list[float] = []
+            for s, (lo, d) in enumerate(_split_dims(dim, m)):
+                for _, comps in codebooks[s]:
+                    acc = 0.0
+                    for i in range(d):
+                        t = float(base[lo + i]) - float(comps[i])
+                        acc = acc + t * t
+                    lut.append(acc)
+            probe_rows.append((qid, cid, lut))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, lut array<double>"
+    )
     cand = (
         cells.join(F.broadcast(probes), "cell")
         .join(enc, "neighbor_id")
-        .join(F.broadcast(luts), "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
     dist = F.aggregate(

@@ -167,3 +167,64 @@ def test_ivfpq_candidates_respect_probes_and_recall(spark):
         "query_id", "neighbor_id", "rank"
     )
     assert mean_recall_at_k(out, exact, k=10) >= 0.1
+
+
+def test_ivfpq_residual_trained_wins_on_clusters(spark):
+    """Residual mode (FAISS by_residual) with TRAINED quantizers: on a
+    clustered corpus, Lloyd-trained coarse + residual codebooks must
+    recall well (≥ 0.35) while SAMPLED residual codebooks collapse
+    (near-zero — a centroid-miss makes residual space noisier than raw;
+    the same inversion shows on the structure-less random corpus, see
+    BENCH.md). Pins the trade-off so it can't silently drift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import (
+        ivfpq_topk,
+        l2_topk,
+        residual_frame,
+        sample_coarse_centroids,
+        train_pq_codebooks,
+    )
+    from graph_stream_zoomer_spark.operators.similarity import mean_recall_at_k
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(16, 64)
+    pts = np.concatenate([c + 0.05 * rng.randn(20, 64) for c in centers]).astype(
+        np.float32
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    emb.count()
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 10).collect()
+    ]
+    exact = l2_topk(emb, emb.where(F.col("vec_id") < 10), k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    coarse_t = train_pq_codebooks(emb, 64, m=1, k=16, n_iter=3)[0]
+    rf = residual_frame(emb, coarse_t)
+    books_r = train_pq_codebooks(rf, 64, m=8, k=16, n_iter=2, vec_col="_resid")
+    trained = mean_recall_at_k(
+        ivfpq_topk(emb, queries, coarse_t, books_r, k=10, n_probe=4, by_residual=True),
+        exact,
+        k=10,
+    )
+    sampled = mean_recall_at_k(
+        ivfpq_topk(
+            emb,
+            queries,
+            sample_coarse_centroids(emb),
+            k=10,
+            n_probe=4,
+            by_residual=True,
+        ),
+        exact,
+        k=10,
+    )
+    emb.unpersist()
+    assert trained >= 0.35, trained
+    assert trained >= sampled + 0.2, (trained, sampled)
