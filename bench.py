@@ -117,6 +117,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         "graph_group_session",
         "graph_group_top_transitions",
         "graph_pagerank",
+        "graph_structure",
         "cep_sequence_match",
         "cep_followed_by",
         "dedup_fingerprint",
