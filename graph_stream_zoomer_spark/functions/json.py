@@ -69,15 +69,23 @@ def promote_json(
     elsewhere) so a later filter can quarantine instead of silently
     nulling.
     """
-    field_names = [f.strip().split()[0] for f in ddl.split(",")]
+    # Parse the DDL properly — a naive split(",") mis-parses any type with
+    # embedded commas (DECIMAL(10,2), ARRAY<STRUCT<a:INT,b:INT>>, MAP<..>),
+    # inventing bogus field names. StructType.fromDDL gives the real field
+    # list, and the same StructType feeds from_json.
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StringType
+
+    schema = StructType.fromDDL(ddl)
+    field_names = [f.name for f in schema.fields]
     if corrupt_col is not None:
         parsed = F.from_json(
             F.col(json_col),
-            ddl + ", _corrupt STRING",
+            StructType(schema.fields + [StructField("_corrupt", StringType())]),
             {"columnNameOfCorruptRecord": "_corrupt"},
         )
     else:
-        parsed = F.from_json(F.col(json_col), ddl)
+        parsed = F.from_json(F.col(json_col), schema)
     out = df.withColumn("_parsed", parsed)
     for name in field_names:
         out = out.withColumn(prefix + name, F.col("_parsed")[name])

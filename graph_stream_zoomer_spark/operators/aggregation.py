@@ -143,8 +143,14 @@ class AggregateFunction:
             n = F.sum(F.col(p + "_cnt"))
             s = F.sum(F.col(p + "_sum"))
             sq = F.sum(F.col(p + "_sq"))
-            # sample variance from merged moments; NULL for n < 2 like
-            # stddev_samp; greatest(0, ·) guards float cancellation
+            # sample variance from merged moments; greatest(0, ·) guards
+            # float cancellation. NULL for n < 2 matches stddev_samp under
+            # Spark 3.0+ defaults (SPARK-13860: singleton groups return
+            # NULL; NaN only under spark.sql.legacy.statisticalAggregate=
+            # true, which this engine does not support in salted mode) —
+            # so the salted two-phase plan and the direct plan agree on
+            # singleton groups, pinned by tests/test_dataops.py's
+            # test_stddev_aggregate_direct_and_salted_merge.
             var = F.greatest(F.lit(0.0), (sq - s * s / n) / (n - 1))
             return F.when(n >= 2, F.sqrt(var)).alias(self.output_key)
         if self.kind == "sum":

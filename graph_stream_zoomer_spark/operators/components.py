@@ -230,7 +230,12 @@ def keep_best_per_cluster(
     cc = connected_components(
         pairs, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
     )
-    scored = docs.select(F.col(id_col).cast("long").alias("doc"), score.alias("score"))
+    # Join on the RAW id type: pairs and docs share the id domain, and
+    # connected_components is id-type-agnostic (min-label works for any
+    # ordered type). A forced cast("long") would NULL out non-numeric doc
+    # ids, silently failing the member join and mis-emitting every doc as
+    # a singleton "unique" with a NULL id.
+    scored = docs.select(F.col(id_col).alias("doc"), score.alias("score"))
     members = cc.join(scored, cc["node"] == F.col("doc"), "inner")
     from pyspark.sql import Window
 

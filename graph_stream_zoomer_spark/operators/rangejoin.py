@@ -89,8 +89,15 @@ def interval_join(
             )
         )
     )
+    # Reversed intervals (end < start) match nothing by contract — filter
+    # them out BEFORE the explode: end_bin < start_bin would make n_bins
+    # <= 0 (passing the <= guard) and F.sequence(start, end) would emit a
+    # DESCENDING sequence of unbounded length — the exact build-side
+    # blowup the guard exists to prevent.
     iv_b = intervals.where(
-        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
     ).select(
         "*",
         F.explode(F.sequence(guard, end_bin)).alias("_bin"),

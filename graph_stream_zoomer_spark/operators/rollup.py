@@ -257,6 +257,7 @@ def streaming_sessionize(
 
         out = {key: [], "turn_idx": [], "ts": [], "session_id": []}
         kept: list[tuple[int, int]] = []
+        n_closed_at_entry = n_closed
         for sess in sessions:  # start order == close order
             if sess[-1][1] + gap_us < wm_us:
                 n_closed += 1
@@ -283,11 +284,19 @@ def streaming_sessionize(
             state.setTimeoutTimestamp(
                 max((min_close_ms + gap_us) // 1000 + 1, wm_us // 1000 + 1)
             )
-        elif n_closed and not state.hasTimedOut:
+        elif n_closed and (not state.hasTimedOut or n_closed > n_closed_at_entry):
             # remember the ordinal for future sessions of this conversation
             # for one more timeout period; if the conversation stays silent
             # until then, drop the state (bounded retention — a conversation
-            # resuming after that horizon restarts its ordinals, documented)
+            # resuming after that horizon restarts its ordinals, documented).
+            # The `n_closed > n_closed_at_entry` arm gives the TIMEOUT close
+            # path the SAME retention horizon as the data-batch close path:
+            # when the final open session closes on a timeout wake, keep the
+            # ordinal counter one more period instead of dropping it
+            # immediately (otherwise a conversation resuming right after
+            # would restart at session #1 and reuse session_ids). A timeout
+            # wake that closed nothing is the retention expiry itself —
+            # that one falls through to remove().
             state.update(([], [], n_closed))
             state.setTimeoutTimestamp(wm_us // 1000 + gap_s * 1000 + 1)
         else:

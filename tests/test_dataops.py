@@ -698,3 +698,27 @@ def test_chunk_documents_boundaries(spark):
     assert got[(1, 0)][30:] == got[(1, 1)][:10]
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_len=10, overlap=10)
+
+
+def test_keep_best_per_cluster_string_ids(spark):
+    """keep_best_per_cluster must work on NON-numeric doc ids: the member
+    join runs on the raw id type (no forced cast). Regression — a
+    cast('long') would NULL every string id, silently dropping the cluster
+    join and emitting every doc as a NULL-id 'unique'."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.components import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [("doc-a", 0.2), ("doc-b", 0.9), ("doc-c", 0.1), ("solo", 0.5)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "doc_a string, doc_b string"
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["n_members"])
+        for r in keep_best_per_cluster(docs, pairs, F.col("q")).collect()
+    }
+    assert out == {"doc-b": (0.9, 3), "solo": (0.5, 1)}
+    assert None not in out

@@ -59,3 +59,25 @@ def test_promotion_is_stream_transparent(spark, tmp_path):
         map(tuple, promote_json(batch, "props", ddl="k INT", corrupt_col="bad").collect())
     )
     assert got == want and len(got) == 4
+
+
+def test_promote_json_comma_bearing_types(spark):
+    """Field names must come from a real DDL parse (StructType.fromDDL),
+    not a naive split(',') — DECIMAL(10,2) and ARRAY<STRUCT<...>> embed
+    commas inside a single field's type. Regression."""
+    df = spark.createDataFrame(
+        [(1, '{"price": 12.34, "tags": [{"a": 1, "b": 2}], "name": "x"}')],
+        "event_id long, props string",
+    )
+    out = promote_json(
+        df,
+        "props",
+        ddl="price DECIMAL(10,2), tags ARRAY<STRUCT<a:INT,b:INT>>, name STRING",
+    )
+    assert {"price", "tags", "name"} <= set(out.columns)
+    # no bogus columns from splitting inside DECIMAL(10,2) / STRUCT<a,b>
+    assert not any(c.endswith(")") or c.startswith("2") for c in out.columns)
+    row = out.collect()[0]
+    assert str(row["price"]) == "12.34"
+    assert row["name"] == "x"
+    assert [tuple(t) for t in row["tags"]] == [(1, 2)]

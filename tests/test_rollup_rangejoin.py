@@ -301,3 +301,83 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in sessionize(batch_in, gap_s=1800).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_interval_join_reversed_interval_matches_nothing(spark):
+    """A corrupt interval with end < start must match nothing AND must not
+    reach the explode: end_bin < start_bin makes n_bins <= 0 (passing the
+    '<= max bins' guard) and F.sequence would then emit a DESCENDING
+    sequence of unbounded length — the build-side blowup the guard exists
+    to prevent. Regression for the pre-explode end>=start filter."""
+    probe = _ts(
+        spark.createDataFrame([("a", "2024-01-01 10:00:00")], "k string, ts string"),
+        "ts",
+    )
+    iv = _ts(
+        spark.createDataFrame(
+            [
+                # reversed by ~24y: would explode ~12.6M bins at 1-minute width
+                ("a", "2030-01-01 00:00:00", "2006-01-01 00:00:00", "rev"),
+                ("a", "2024-01-01 09:59:00", "2024-01-01 10:30:00", "ok"),
+            ],
+            IV_DDL,
+        ),
+        "start_ts",
+        "end_ts",
+    )
+    got = interval_join(probe, iv, on=["k"], bin_width="1 minute").collect()
+    assert [r["tag"] for r in got] == ["ok"]
+    # left join: reversed interval still contributes nothing
+    left = interval_join(probe, iv, on=["k"], bin_width="1 minute", how="left")
+    assert {r["tag"] for r in left.collect()} == {"ok"}
+
+
+def test_streaming_sessionize_timeout_close_keeps_ordinal(spark, tmp_path):
+    """When the final open session closes on the TIMEOUT path (watermark
+    wake with no data for the key), the ordinal counter must be retained
+    for the same one-extra-period horizon as data-batch closes — a
+    conversation resuming right after must get session #2, not restart at
+    #1 and reuse the session_id. Regression for the hasTimedOut branch."""
+    from graph_stream_zoomer_spark.operators.rollup import streaming_sessionize
+
+    S_DDL = "conv_id string, turn_idx int, ts timestamp"
+    chunks = [
+        [("c1", 0, "2024-01-01 10:00:00")],  # session #1 opens
+        [("zz", 0, "2024-01-01 11:00:00")],  # wm → 10:59:55 (close not due yet)
+        [("zz", 1, "2024-01-01 11:10:00")],  # TIMEOUT wake closes c1#1 (no c1 data)
+        [("c1", 1, "2024-01-01 11:35:00")],  # resumes within retention horizon
+        [("zz", 2, "2030-01-01 00:00:00")],  # sentinel closes everything
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, S_DDL.replace("ts timestamp", "ts string")
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for i, chunk in enumerate(chunks):
+        frame(chunk).coalesce(1).write.mode("append").parquet(src)
+        if i < len(chunks) - 1:
+            time.sleep(1.1)
+
+    st = (
+        spark.readStream.schema(S_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+    )
+    q = (
+        streaming_sessionize(st, gap_s=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in spark.read.parquet(out).where(F.col("conv_id") == "c1").collect()
+    }
+    assert got == {("c1", 0): "c1#1", ("c1", 1): "c1#2"}
