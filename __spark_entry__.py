@@ -1688,7 +1688,13 @@ FROM isl GROUP BY doc_id, island
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=32, bands=8)
+    # reproducible=True EXPLICITLY: the md5 shape is what the DuckDB oracle
+    # can replay. The bare default is the xxhash64 joinless fast path (the
+    # deployment shape) — the oracle row must not depend on a scale-hostile
+    # default, so the flag is spelled out here and only here.
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=32, bands=8, reproducible=True
+    )
 
 
 _MINHASH_SQL = f"""
@@ -2076,7 +2082,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < 3).collect()
     ]
-    return ivfpq_topk(emb, queries, coarse, books, k=10, n_probe=4)
+    # use_arrow_assign=False pins the Catalyst-literal cell fold — the
+    # exact arithmetic the DuckDB oracle replays (the Arrow twin is the
+    # deployment default above _LITERAL_CELL_BUDGET model floats).
+    return ivfpq_topk(
+        emb, queries, coarse, books, k=10, n_probe=4, use_arrow_assign=False
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

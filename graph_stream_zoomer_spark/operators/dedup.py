@@ -181,14 +181,14 @@ def minhash_lsh_candidates(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    reproducible: bool = True,
+    reproducible: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: shingle → minhash → band → bucket-join.
 
     Two plan shapes, both whole-stage-codegen with no interpreted array
     lambdas in the hot path:
 
-    - ``reproducible=False`` (deployment default): ONE shingle explode, then
+    - ``reproducible=False`` (the DEFAULT — the deployment shape): ONE shingle explode, then
       every signature slot as a codegen'd ``min(xxhash64(i, h0))`` aggregate
       in a single groupBy (the simhash vote-agg pattern) — the shuffle
       carries ``num_hashes`` partial mins per doc per partition instead of

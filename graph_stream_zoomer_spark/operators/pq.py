@@ -377,16 +377,73 @@ def _nearest_cell_py(qv: list[float], coarse: list[tuple[int, list[float]]]) -> 
     return sorted(cd)
 
 
+def _fast_cell_resid_udf(coarse: list[tuple[int, list[float]]]):
+    """Arrow twin of residual_frame's literal path: one batch matmul-free
+    termwise L2 assignment (same round-8 + asc-id tie as _argmin_struct)
+    plus the residual subtraction, returning (cell, resid) in one pass —
+    the coarse model (potentially 4k×768 floats) rides the closure, never
+    the plan."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    order = sorted(coarse, key=lambda c: c[0])
+    C = np.array([comps for _, comps in order], dtype=np.float64)
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+    by_id = {cid: np.asarray(comps, dtype=np.float64) for cid, comps in coarse}
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("resid", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(vs):  # pd.Series -> pd.DataFrame (no hints: pandas not module-global)
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        D = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8)
+        cell_ids = ids[np.argmin(D, axis=1)]
+        resid = V - np.stack([by_id[int(c)] for c in cell_ids])
+        return pd.DataFrame(
+            {"cell": cell_ids.astype(np.int32), "resid": list(resid)}
+        )
+
+    return F.pandas_udf(schema)(fn)
+
+
 def residual_frame(
     corpus: DataFrame,
     coarse: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow_assign: bool | None = None,
 ) -> DataFrame:
     """(id, vec, _cell, _resid): each row's coarse cell and residual
     (x − centroid[cell]) — the training/encoding input for residual PQ
     (train residual codebooks with ``train_pq_codebooks(residual_frame(
-    ...), dim, vec_col="_resid")``)."""
+    ...), dim, vec_col="_resid")``).
+
+    ``use_arrow_assign=None`` auto-selects: the Catalyst-literal fold under
+    _LITERAL_CELL_BUDGET total floats (oracle-exact), the Arrow closure
+    twin above it (flat driver compile at production quantizer sizes)."""
+    if use_arrow_assign is None:
+        use_arrow_assign = len(coarse) * len(coarse[0][1]) > _LITERAL_CELL_BUDGET
+    if use_arrow_assign:
+        st = _fast_cell_resid_udf(coarse)(F.col(vec_col))
+        return (
+            corpus.select(F.col(id_col), F.col(vec_col), st.alias("_st"))
+            .withColumn("_cell", F.col("_st")["cell"])
+            .withColumn("_resid", F.col("_st")["resid"])
+            .drop("_st")
+        )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cell = _argmin_struct(vec, 0, coarse, 8)["j"]
     cent_arr = F.array(
@@ -408,6 +465,41 @@ def residual_frame(
     )
 
 
+def _fast_cell_udf(coarse: list[tuple[int, list[float]]]):
+    """Arrow-batched L2 cell assignment — the scale twin of
+    ``_argmin_struct(vec, 0, coarse, 8)["j"]``: termwise (x−c)² sums,
+    rounded to 8 decimals, argmin with ties to the smallest centroid id
+    (centroids pre-sorted ASC by id + numpy first-min argmin). The coarse
+    model rides the UDF closure, not the plan — driver compile stays flat
+    as n_centroids grows. Not bit-identical to the Catalyst fold on the
+    last ulp (numpy pairwise summation), which the round-8 absorbs except
+    exactly at a rounding boundary — the oracle row therefore pins the
+    literal path via use_arrow_assign=False."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    order = sorted(coarse, key=lambda c: c[0])
+    C = np.array([comps for _, comps in order], dtype=np.float64)
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+
+    def fn(vs):  # pd.Series -> pd.Series (no hints: pandas not module-global)
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        # termwise like the literal fold: dist[n, c] = Σ_i (V[n,i]-C[c,i])²
+        D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        D = np.round(D, 8)
+        return pd.Series(ids[np.argmin(D, axis=1)].astype(np.int32))
+
+    return F.pandas_udf(IntegerType())(fn)
+
+
+# Same budget rationale as similarity._LITERAL_PROBE_BUDGET: above this
+# many total floats the coarse model stops being a Catalyst literal.
+_LITERAL_CELL_BUDGET = 2048
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -422,6 +514,7 @@ def ivfpq_topk(
     by_residual: bool = False,
     pq_k: int = 16,
     pq_m: int = 8,
+    use_arrow_assign: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ composed index (FAISS IndexIVFPQ shape): corpus rows land in
     their L2-nearest coarse cell ((round-8 dist, cell) argmin — zero
@@ -442,12 +535,23 @@ def ivfpq_topk(
     work for finer distances (recall win pinned in tests/test_pq.py)."""
     dim = len(coarse[0][1])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cell = _argmin_struct(vec, 0, coarse, 8)["j"]
+    if use_arrow_assign is None:
+        use_arrow_assign = len(coarse) * dim > _LITERAL_CELL_BUDGET
+    if use_arrow_assign:
+        cell = _fast_cell_udf(coarse)(F.col(vec_col))
+    else:
+        cell = _argmin_struct(vec, 0, coarse, 8)["j"]
     cells = corpus.select(F.col(id_col).alias("neighbor_id"), cell.alias("cell"))
     spark = corpus.sparkSession
 
     if by_residual:
-        rframe = residual_frame(corpus, coarse, id_col=id_col, vec_col=vec_col)
+        rframe = residual_frame(
+            corpus,
+            coarse,
+            id_col=id_col,
+            vec_col=vec_col,
+            use_arrow_assign=use_arrow_assign,
+        )
         if codebooks is None:
             # sampled residual codebooks: md5-sampled rows' residuals
             # (driver-exact). Skip the first n_centroids rows of the md5

@@ -272,6 +272,48 @@ def mean_recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     return float(row["m"])
 
 
+# Max centroid-model size (total floats = n_centroids × dim) embedded as
+# Catalyst literals. Above this the non-reproducible path switches to the
+# Arrow matmul probe: literal folds cost O(model) ANALYSIS + CODEGEN time
+# per query plan (~4 s at 16×64 already, measured in BENCH.md) and a
+# production coarse quantizer is 4k–65k centroids — literal plans of that
+# size blow up driver compile or the driver outright. The reproducible
+# oracle mode always keeps the literal fold (exact, SQL-replayable
+# arithmetic).
+_LITERAL_PROBE_BUDGET = 512
+
+
+def _fast_nearest_cells_udf(ucents: list[tuple[int, list[float]]], n_cells: int):
+    """Arrow-batched top-``n_cells`` centroid probe: ONE numpy matmul per
+    batch scores every centroid (the tiny-model broadcast rides the UDF
+    closure — ships once per executor, never in the plan). Centroids are
+    pre-ordered DESC by id so the stable argsort reproduces the literal
+    path's desc-(sim, centroid_id) tie-break; ``ucents`` components must
+    already be unit-normalized (caller does it once, driver-side).
+
+    Not bit-identical to the Catalyst fold (numpy pairwise summation vs
+    the chained left-fold) — that's why the reproducible oracle mode never
+    takes this path."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    order = sorted(ucents, key=lambda c: -c[0])
+    C = np.array([comps for _, comps in order], dtype=np.float64)
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+
+    def fn(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        np.divide(V, nrm, out=V, where=nrm > 0)
+        S = V @ C.T  # (N, n_centroids) cosine scores (centroids unit-norm)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :n_cells]
+        return pd.Series(list(ids[idx]))
+
+    return F.pandas_udf(ArrayType(LongType()))(fn)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,41 +360,69 @@ def ivf_topk(
         )
     import math
 
-    cent_lits = []  # (centroid_id, unit-normalized centroid literal)
+    ucents = []  # (centroid_id, unit-normalized components)
     for r in cent_rows:
         nrm = math.sqrt(sum(x * x for x in r["centroid"])) or 1.0
-        cent_lits.append(
-            (r["centroid_id"], F.array(*[F.lit(x / nrm) for x in r["centroid"]]))
+        ucents.append((r["centroid_id"], [x / nrm for x in r["centroid"]]))
+
+    n_terms = sum(len(c) for _, c in ucents)
+    if not reproducible and n_terms > _LITERAL_PROBE_BUDGET:
+        # Deployment probe: the centroid model rides an Arrow matmul UDF
+        # closure instead of the plan — driver compile time stays flat as
+        # n_centroids grows (a 4k×768 literal fold would not survive
+        # analysis/codegen). Same desc-(sim, id) ranking as the literal
+        # path; see _fast_nearest_cells_udf.
+        assign_udf = _fast_nearest_cells_udf(ucents, 1)
+        probe_udf = _fast_nearest_cells_udf(ucents, n_probe)
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            assign_udf(F.col(vec_col))[0].alias("centroid_id"),
         )
-
-    def nearest_cells(vec: Column, n_cells: int) -> Column:
-        """array of the n_cells centroid ids nearest to ``vec`` by cosine —
-        pure Catalyst expression, evaluated inline on each row (no join)."""
-        def sim_of(cl: Column) -> Column:
-            s = dot_expr(vec, cl) / norm_expr(vec)
-            return F.round(s, 5) if reproducible else s
-
-        sims = F.array(
-            *[
-                F.struct(sim_of(cl).alias("sim"), F.lit(cid).alias("centroid_id"))
-                for cid, cl in cent_lits
-            ]
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(probe_udf(F.col(vec_col))).alias("centroid_id"),
         )
-        ranked = F.reverse(F.array_sort(sims))  # desc by (sim, centroid_id)
-        return F.slice(ranked, 1, n_cells).getField("centroid_id")
+    else:
+        cent_lits = [
+            (cid, F.array(*[F.lit(x) for x in comps])) for cid, comps in ucents
+        ]
 
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        nearest_cells(F.col(vec_col).cast("array<double>"), 1)[0].alias("centroid_id"),
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(nearest_cells(F.col(vec_col).cast("array<double>"), n_probe)).alias(
-            "centroid_id"
-        ),
-    )
+        def nearest_cells(vec: Column, n_cells: int) -> Column:
+            """array of the n_cells centroid ids nearest to ``vec`` by
+            cosine — pure Catalyst expression, evaluated inline on each row
+            (no join). Oracle-exact (the SQL replays the same fold) but
+            costs O(model) driver compile — capped by
+            _LITERAL_PROBE_BUDGET on the non-reproducible path."""
+
+            def sim_of(cl: Column) -> Column:
+                s = dot_expr(vec, cl) / norm_expr(vec)
+                return F.round(s, 5) if reproducible else s
+
+            sims = F.array(
+                *[
+                    F.struct(sim_of(cl).alias("sim"), F.lit(cid).alias("centroid_id"))
+                    for cid, cl in cent_lits
+                ]
+            )
+            ranked = F.reverse(F.array_sort(sims))  # desc by (sim, centroid_id)
+            return F.slice(ranked, 1, n_cells).getField("centroid_id")
+
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            nearest_cells(F.col(vec_col).cast("array<double>"), 1)[0].alias(
+                "centroid_id"
+            ),
+        )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                nearest_cells(F.col(vec_col).cast("array<double>"), n_probe)
+            ).alias("centroid_id"),
+        )
     joined = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )

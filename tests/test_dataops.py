@@ -722,3 +722,53 @@ def test_keep_best_per_cluster_string_ids(spark):
     }
     assert out == {"doc-b": (0.9, 3), "solo": (0.5, 1)}
     assert None not in out
+
+
+def test_ivf_probe_arrow_above_literal_budget(spark, monkeypatch):
+    """Scale-safety of the IVF probe: above _LITERAL_PROBE_BUDGET model
+    floats the non-reproducible path must ship centroids in an Arrow UDF
+    closure, NOT as Catalyst literals (a 4k×768 literal fold blows up
+    driver analysis/codegen). Pins: (a) the auto-switch fires on model
+    size; (b) Arrow and literal paths return the same top-k on the same
+    model; (c) plan BUILD time at 256 centroids stays flat."""
+    import time
+
+    from graph_stream_zoomer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    emb.count()
+    q = emb.where(F.col("vec_id") < 3)
+    dim = len(emb.select("embedding").first()["embedding"])
+    n_small = max(2, sim._LITERAL_PROBE_BUDGET // dim)  # == budget → literal
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(n_small).collect()
+    ]
+
+    def rows(df):
+        return [
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 4), r["rank"])
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    lit_df = sim.ivf_topk(emb, q, k=5, centroids=cents)
+    assert "ArrowEvalPython" not in lit_df._jdf.queryExecution().executedPlan().toString()
+    lit_rows = rows(lit_df)
+
+    # (a)+(b): force the Arrow path for the IDENTICAL model by shrinking
+    # the budget — same cells, same candidates, same top-k.
+    monkeypatch.setattr(sim, "_LITERAL_PROBE_BUDGET", 0)
+    arrow_df = sim.ivf_topk(emb, q, k=5, centroids=cents)
+    assert "ArrowEvalPython" in arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert rows(arrow_df) == lit_rows
+    monkeypatch.undo()
+
+    # (c) flat plan-build at 256 centroids (the literal fold pays ~4 s of
+    # driver expression compile at just 16×64 — BENCH.md)
+    cents256 = [(10_000 + i, c) for i, (_, c) in enumerate((cents * 64)[:256])]
+    t0 = time.monotonic()
+    df256 = sim.ivf_topk(emb, q, k=5, centroids=cents256)
+    df256._jdf.queryExecution().executedPlan()  # force analysis + planning
+    build_s = time.monotonic() - t0
+    assert build_s < 5.0, f"plan build at 256 centroids took {build_s:.1f}s"
+    emb.unpersist()

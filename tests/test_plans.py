@@ -154,7 +154,10 @@ def test_minhash_fast_path_single_signature_aggregate(spark):
     from graph_stream_zoomer_spark.operators.dedup import minhash_lsh_candidates
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    txt = plan_stats(minhash_lsh_candidates(docs, reproducible=False)).text
+    # BARE-DEFAULT call: the deployment-safe fast path must be what callers
+    # get without asking (reproducible defaults to False; the md5 oracle
+    # shape is opt-in). Regression for the flipped default.
+    txt = plan_stats(minhash_lsh_candidates(docs)).text
     assert "m31" in txt, txt[:2000]  # 32nd signature slot is a named agg output
     # joinless pair generation: ONE scan (a self-join would duplicate the
     # whole signature subtree), no join operator at all.

@@ -228,3 +228,46 @@ def test_ivfpq_residual_trained_wins_on_clusters(spark):
     emb.unpersist()
     assert trained >= 0.35, trained
     assert trained >= sampled + 0.2, (trained, sampled)
+
+
+def test_ivfpq_arrow_assign_matches_literal(spark):
+    """The Arrow cell-assignment twin (deployment default above
+    _LITERAL_CELL_BUDGET model floats) must reproduce the Catalyst-literal
+    fold's cells and therefore the identical IVF-PQ top-k on the same
+    model — both non-residual and residual modes."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import (
+        ivfpq_topk,
+        residual_frame,
+        sample_coarse_centroids,
+        sample_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    emb.count()
+    coarse = sample_coarse_centroids(emb)
+    books = sample_pq_codebooks(emb, 64)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+    for by_res in (False, True):
+        kw = dict(k=5, n_probe=4, by_residual=by_res)
+        if not by_res:
+            kw["codebooks"] = books
+        lit = rows(ivfpq_topk(emb, queries, coarse, use_arrow_assign=False, **kw))
+        arw = rows(ivfpq_topk(emb, queries, coarse, use_arrow_assign=True, **kw))
+        assert lit == arw and lit, f"by_residual={by_res}"
+
+    # residual_frame twin: identical (cell, resid) under both paths
+    lit_rf = residual_frame(emb, coarse, use_arrow_assign=False)
+    arw_rf = residual_frame(emb, coarse, use_arrow_assign=True)
+    a = {r["vec_id"]: (r["_cell"], tuple(round(x, 9) for x in r["_resid"])) for r in lit_rf.collect()}
+    b = {r["vec_id"]: (r["_cell"], tuple(round(x, 9) for x in r["_resid"])) for r in arw_rf.collect()}
+    assert a == b
+    emb.unpersist()
