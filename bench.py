@@ -3,8 +3,15 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
-   "cpus": N}
+   "queries": {name: warm_best_sec, ...},
+   "queries_cold": {name: first_run_sec, ...}, "warm_trials": N,
+   "sf": ..., "turns_per_sec": ..., "flagship_cold_sec": ..., "cpus": N}
+
+Per-cell protocol: 1 cold execution (JIT/codegen-dominated, recorded in
+queries_cold) + $SPARK_GRAFT_BENCH_WARM (default 2) warm re-executions;
+"queries" and the total "value" use the warm best, so a host-noise spike
+in one trial cannot fabricate a round-over-round regression (r03's raw
+JSON showed phantom 2-3x swings from a single degraded-host visit).
 
 The flagship measurement is windowed graph-stream grouping throughput over
 a deterministic synthetic transcript stream (grouped turns/sec — the
@@ -56,12 +63,26 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts, transcript_graph
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     extras: dict[str, float] = {}
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2"))
 
     def run(name, fn):
+        # Drift-robust per-cell protocol (BENCH.md discipline, now in the
+        # recorded artifact): first execution is the JIT/codegen-cold trial
+        # (reported in queries_cold), the headline number is the best of
+        # n_warm warm re-executions — host-noise spikes (r03's recorded
+        # JSON showed phantom 2-3x regressions from a degraded-host visit)
+        # hit one trial, not the min.
         t0 = time.time()
         n = fn()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        best = cold[name]
+        for _ in range(n_warm):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         return n
 
     # --- flagship: windowed graph grouping over synthetic transcripts ----
@@ -103,7 +124,11 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     extras["turns_per_sec"] = round(n_turns / timings["graph_grouping_transcripts"], 1)
 
     # --- operator-family queries over the driver tables ------------------
-    qs = entry.queries()
+    # both registries: queries() is the 50-key driver gate window,
+    # extra_queries() the curated-out overflow — the bench keeps timing the
+    # same cells it always has regardless of which registry a key lives in
+    qs = dict(entry.queries())
+    qs.update(entry.extra_queries())
     for name in [
         "tpch_pricing_summary",  # biggest input: 600k lineitem rows at sf0.1
         "tpch_shipping_priority",  # 3-table join path at the same volume
@@ -247,6 +272,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     run("pq_encode_arrow", _pq_encode_arrow)
 
+    extras["queries_cold"] = cold
+    extras["warm_trials"] = n_warm
     return timings, extras
 
 

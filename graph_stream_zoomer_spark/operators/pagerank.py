@@ -11,10 +11,15 @@ engines, partitionings, and runs — an iterative float algorithm made
 oracle-checkable (the DuckDB oracle unrolls the same rounds as
 MATERIALIZED CTEs; cf. the BPE/kmeans unroll precedent).
 
-Semantics: the standard damped PageRank with DANGLING MASS DROPPED
-(vertices without out-edges leak their rank; totals shrink accordingly) —
-the common simplification, documented rather than hidden. Out-weight
-splitting is proportional to edge weight.
+Semantics: ``dangling="drop"`` (default — oracle-compatible; vertices
+without out-edges leak their rank and totals shrink, the common
+simplification) or ``dangling="redistribute"`` (the standard textbook
+formulation: the summed rank of dangling vertices is split uniformly
+across ALL vertices each round, conserving total rank to within integer
+truncation). Redistribution stays integer-exact: the dangling sum is a
+single tiny driver-collected scalar per round (one extra count-style
+aggregate — no extra data-sized shuffle). Out-weight splitting is
+proportional to edge weight.
 
 Scale shape: the per-round work is one ranks⋈edges join on src + one
 groupBy dst — both shuffles keyed by vertex; summary graphs (grouped
@@ -38,11 +43,16 @@ def pagerank_exact(
     iters: int = 8,
     damping_ppm: int = 850_000,
     scale: int = 1_000_000,
+    dangling: str = "drop",
 ) -> DataFrame:
     """(vertex, rank_ppm) after ``iters`` rounds; rank_ppm is the rank in
-    parts-per-``scale`` as an exact BIGINT."""
+    parts-per-``scale`` as an exact BIGINT. ``dangling``: "drop" (default)
+    or "redistribute" (uniform dangling-mass redistribution, conserves
+    total rank to within truncation — pinned by tests/test_pagerank.py)."""
     if iters < 1 or not (0 < damping_ppm < scale):
         raise ValueError("need iters >= 1 and 0 < damping_ppm < scale")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("dangling must be 'drop' or 'redistribute'")
     w = (
         F.col(weight_col).cast("bigint")
         if weight_col is not None
@@ -63,6 +73,12 @@ def pagerank_exact(
     ew = e.join(ow, "src").localCheckpoint(eager=True)
     base = (scale - damping_ppm) // n
     ranks = verts.select("v", F.lit(scale // n).cast("bigint").alias("r"))
+    # dangling = vertices with no out-edges (only relevant for redistribute)
+    dangling_verts = (
+        verts.join(ow, verts.v == ow.src, "left_anti").localCheckpoint(eager=True)
+        if dangling == "redistribute"
+        else None
+    )
     for _ in range(iters):
         inc = (
             ew.join(ranks, ew.src == ranks.v)
@@ -75,11 +91,22 @@ def pagerank_exact(
             .groupBy("v")
             .agg(F.sum("c").alias("inc"))
         )
+        extra = 0
+        if dangling_verts is not None:
+            # one tiny scalar per round: Σ rank over dangling vertices,
+            # damped and split uniformly (integer division — truncation
+            # loss < n ppm/round, the conservation bound the test pins)
+            d_sum = (
+                ranks.join(dangling_verts, "v", "left_semi")
+                .agg(F.sum("r").alias("s"))
+                .collect()[0]["s"]
+            ) or 0
+            extra = (damping_ppm * d_sum) // scale // n
         ranks = (
             verts.join(inc, "v", "left")
             .select(
                 "v",
-                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0)))
+                (F.lit(base + extra) + F.coalesce(F.col("inc"), F.lit(0)))
                 .cast("bigint")
                 .alias("r"),
             )

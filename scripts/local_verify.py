@@ -53,8 +53,13 @@ def main():
         except Exception:
             pass
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # Verify BOTH registries: the 50 driver-gated keys and the
+    # extra_queries() overflow (keys curated out of the driver's 50-row
+    # gate window — same check, recorded here instead).
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    qs.update(entrymod.extra_queries())
+    oracles.update(entrymod.extra_oracle_sql())
     only = set(sys.argv[1:])
     failures = []
     for name, fn in qs.items():

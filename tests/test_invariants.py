@@ -214,3 +214,27 @@ def test_operator_is_closed_groupings_compose(graph):
         for r in direct.vertices.collect()
     }
     assert re_rows == di_rows and re_rows
+
+
+def test_driver_registry_contract():
+    """The driver gates the first 50 queries() keys (r03 proved the window
+    empirically). Contract: exactly 50 keys, oracle for every key, same
+    iteration order in queries() and oracle_sql(), extra_queries() disjoint
+    with its own full oracle cover, and the keys the r03 artifact did not
+    reach come first so even a smaller window proves them."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    xq, xo = e.extra_queries(), e.extra_oracle_sql()
+    assert len(q) == 50
+    assert list(q) == list(o)
+    assert set(xq) == set(xo)
+    assert not set(q) & set(xq)
+    r03_unproven = {
+        "ann_ivf_topk", "kmeans_centroids", "embedding_stats", "text_stats",
+        "text_langid", "text_fingerprint", "pack_sequences", "bpe_merges",
+        "bpe_token_counts", "doc_chunks", "text_split_counts", "doc_sample",
+        "media_digests", "conv_rollup", "interval_join_first5m", "pii_redact",
+        "doc_mix_sample", "sessionize", "quality_filter", "ann_ivfpq_residual",
+    }
+    assert set(list(q)[:20]) == r03_unproven

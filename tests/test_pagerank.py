@@ -46,3 +46,38 @@ def test_multi_round_deterministic_and_weighted(spark):
     assert got["B"] == 50000 + 212499 and got["C"] == 50000 + 70833
     with pytest.raises(ValueError):
         pagerank_exact(e, iters=0)
+
+
+def test_dangling_redistribute_conserves_total_rank(spark):
+    """dangling='redistribute': total rank stays at `scale` to within
+    integer truncation (loss < 2n ppm per round from the two integer
+    divisions), while the default 'drop' leaks the dangling mass; results
+    remain bit-identical across runs and the existing drop semantics are
+    untouched."""
+    # C is dangling (no out-edges)
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C")], "src string, dst string"
+    )
+    iters, scale, n = 6, 1_000_000, 3
+    red = {
+        r.vertex: r.rank_ppm
+        for r in pagerank_exact(e, iters=iters, dangling="redistribute").collect()
+    }
+    drop = {
+        r.vertex: r.rank_ppm
+        for r in pagerank_exact(e, iters=iters).collect()
+    }
+    total_red = sum(red.values())
+    total_drop = sum(drop.values())
+    # conservation: lose at most ~2n ppm truncation per round
+    assert scale - total_red <= 2 * n * iters, (total_red, scale)
+    # the drop default really leaks (C holds ~36% of the mass here)
+    assert total_drop < total_red - 100_000
+    # deterministic across runs
+    again = {
+        r.vertex: r.rank_ppm
+        for r in pagerank_exact(e, iters=iters, dangling="redistribute").collect()
+    }
+    assert red == again
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_exact(e, dangling="bogus")

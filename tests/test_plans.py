@@ -274,7 +274,7 @@ def test_tpch_q3_broadcasts_dim_and_takeordered(spark):
     a full sort."""
     import __spark_entry__ as entry
 
-    df = entry.queries()["tpch_shipping_priority"](spark, SF_DIR)
+    df = entry.extra_queries()["tpch_shipping_priority"](spark, SF_DIR)
     st = plan_stats(df)
     assert st.num_broadcast_joins >= 1, st.text[:3000]
     assert "BroadcastNestedLoopJoin" not in st.text and "CartesianProduct" not in st.text
