@@ -258,6 +258,27 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     run("kmeans_train_ivf", _kmeans_train_ivf)
 
+    def _ivf_probe_256c():
+        # production-scale coarse quantizer (256 centroids): the Arrow
+        # matmul probe keeps driver plan-compile flat where the r03
+        # literal fold already paid ~4 s at just 16 centroids (and would
+        # not survive 4k+). Centroids injected (md5 sample) so the cell
+        # times ONLY the probe path, not training.
+        from graph_stream_zoomer_spark.operators.similarity import ivf_topk
+
+        rows = (
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(256)
+            .collect()
+        )
+        cents = [(int(r["vec_id"]), list(r["v"])) for r in rows]
+        return ivf_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=10, n_probe=8, centroids=cents
+        ).count()
+
+    run("ivf_probe_256c", _ivf_probe_256c)
+
     def _pq_encode_arrow():
         # PQ deployment path: Arrow numpy encode (bit-identical to the
         # Catalyst literal form, which pays ~20 s flat expression-compile

@@ -226,6 +226,22 @@ class ProgressListener:
                             }
                             for so in p.stateOperators
                         ],
+                        # per-partition lineage: each source's committed
+                        # offset range for this batch (file-stream batch
+                        # indices here; Kafka topic-partition offsets on a
+                        # real cluster) — together with the checkpoint
+                        # offset log this is the resume-evidence trail the
+                        # north rule asks for ("per-partition lineage and
+                        # metrics").
+                        "sources": [
+                            {
+                                "description": getattr(s, "description", None),
+                                "start_offset": getattr(s, "startOffset", None),
+                                "end_offset": getattr(s, "endOffset", None),
+                                "num_input_rows": getattr(s, "numInputRows", None),
+                            }
+                            for s in getattr(p, "sources", [])
+                        ],
                     }
                 )
 

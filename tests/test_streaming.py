@@ -98,6 +98,12 @@ def test_streaming_matches_batch(spark, tmp_path, turns_dir):
     assert summary, result.listener.progress[:2]
     assert all(v["batches"] >= 1 for v in summary.values())
     assert any(v["peak_rows"] > 0 for v in summary.values()), summary
+    # per-partition source lineage: each progress event records its
+    # sources' committed offset ranges (the resume-evidence trail)
+    assert any(
+        b["sources"] and b["sources"][0]["end_offset"] is not None
+        for b in result.listener.progress
+    ), result.listener.progress[:2]
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
