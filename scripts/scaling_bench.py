@@ -125,17 +125,23 @@ def worker(cpus: int, input_dir: str) -> None:
     # evidence pair must not wait on it
     n_runs = TRIALS + 1 if cpus < APPENDIX_LEVEL else 1
 
-    t = generate_transcripts(spark, N_CONVS_BATCH, num_partitions=64)
-    n_turns = t.count()
-    _ = transcript_graph(t.limit(1000), cfg, use_arrow=False).apply(op).vertices.count()  # warm
-    batch_times = []
-    for _i in range(n_runs):  # extra trial: the first is JIT-cold
-        t0 = time.time()
-        out = transcript_graph(t, cfg, use_arrow=False).apply(op)
-        _rows = out.vertices.count() + out.edges.count()
-        batch_times.append(time.time() - t0)
-    # min of the warm trials: transient host slowdowns only ever ADD time
-    batch_s = min(batch_times[1:] or batch_times)
+    skip_batch = bool(os.environ.get("GSZ_SCALE_SKIP_BATCH"))
+    if skip_batch:
+        # stream-only supplement mode (input-scaling evidence): the batch
+        # side is skipped entirely; its fields report as None.
+        n_turns, batch_s, batch_times = 0, None, []
+    else:
+        t = generate_transcripts(spark, N_CONVS_BATCH, num_partitions=64)
+        n_turns = t.count()
+        _ = transcript_graph(t.limit(1000), cfg, use_arrow=False).apply(op).vertices.count()  # warm
+        batch_times = []
+        for _i in range(n_runs):  # extra trial: the first is JIT-cold
+            t0 = time.time()
+            out = transcript_graph(t, cfg, use_arrow=False).apply(op)
+            _rows = out.vertices.count() + out.edges.count()
+            batch_times.append(time.time() - t0)
+        # min of the warm trials: transient host slowdowns only ever ADD time
+        batch_s = min(batch_times[1:] or batch_times)
 
     # ---- streaming job (fresh checkpoint per trial) ----------------------
     stream_path = os.path.join(input_dir, "turns")
@@ -173,9 +179,9 @@ def worker(cpus: int, input_dir: str) -> None:
             {
                 "cpus": cpus,
                 "batch_turns": n_turns,
-                "batch_s": round(batch_s, 2),
+                "batch_s": round(batch_s, 2) if batch_s else None,
                 "batch_trials": [round(x, 2) for x in batch_times],
-                "batch_tps": round(n_turns / batch_s, 1),
+                "batch_tps": round(n_turns / batch_s, 1) if batch_s else None,
                 "stream_turns": n_stream_turns,
                 "stream_s": round(stream_s, 2),
                 "stream_trials": [round(x, 2) for x in stream_times],
@@ -455,8 +461,83 @@ brings its own cores, memory bandwidth, and shuffle disk.
     print(md)
 
 
+def supplement() -> None:
+    """Stream-only INPUT-SCALING supplement: the per-drain fixed costs
+    (query startup/planning, offset/WAL commits, window-close no-data
+    batches) are a constant both levels pay, so they depress the measured
+    ratio more the faster the big level drains — and they are exactly the
+    term that vanishes in the north rule's 10^12-turn regime. Evidence
+    direction: re-run the SAME stream job at a 2× input
+    (GSZ_SCALE_STREAM_CONVS doubled); if the ratio rises toward the
+    hardware ceiling as input grows, the sub-0.8 raw number is the fixed
+    cost + host turbo asymmetry, not the operator pipeline. Appends a
+    section to BENCH.md (the main template writer preserves it)."""
+    from pyspark.sql import SparkSession
+
+    from graph_stream_zoomer_spark.sources.transcripts import generate_transcripts
+
+    n_convs = int(os.environ.get("GSZ_SUP_CONVS", str(2 * N_CONVS_STREAM)))
+    reps = int(os.environ.get("GSZ_SUP_REPS", "2"))
+    input_dir = tempfile.mkdtemp(prefix="gsz_scale_sup_input_")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    generate_transcripts(spark, n_convs, num_partitions=64).write.parquet(
+        os.path.join(input_dir, "turns")
+    )
+    spark.stop()
+
+    os.environ["GSZ_SCALE_SKIP_BATCH"] = "1"
+    lo, hi = LEVELS
+    factor = hi / lo
+    pairs = []
+    for rep in range(reps):
+        r_lo = run_level(lo, input_dir)
+        r_hi = run_level(hi, input_dir)
+        pairs.append((r_lo, r_hi))
+        print(
+            f"SUP PAIR {rep}: stream {(r_hi['stream_tps']/r_lo['stream_tps'])/factor:.2f}",
+            flush=True,
+        )
+    shutil.rmtree(input_dir, ignore_errors=True)
+    eff = statistics.median(
+        (p[1]["stream_tps"] / p[0]["stream_tps"]) / factor for p in pairs
+    )
+    eff_hw = statistics.median(
+        ((p[1]["stream_tps"] / p[0]["stream_tps"]) / factor)
+        / ((p[1]["hw_tps"] / p[0]["hw_tps"]) / factor)
+        for p in pairs
+    )
+    ratios = [round((p[1]["stream_tps"] / p[0]["stream_tps"]) / factor, 3) for p in pairs]
+    md = f"""
+## Streaming input-scaling supplement ({n_convs:,} convs ≈ 2× the main run)
+
+Same stream job, same levels ({lo} vs {hi} pinned cores), input doubled so
+the constant per-drain costs halve as a share of the drain — the direction
+the north rule's 10^12-turn regime takes to its limit.
+
+| cores | drain s (min warm) | turns/s |
+|---|---|---|
+| {lo} | {pairs[-1][0]['stream_s']} | {pairs[-1][0]['stream_tps']:,.0f} |
+| {hi} | {pairs[-1][1]['stream_s']} | {pairs[-1][1]['stream_tps']:,.0f} |
+
+**Supplement efficiency ({lo}→{hi}): raw {eff:.2f}** (pair ratios {ratios}),
+hardware-normalized {eff_hw:.2f} (same pure-CPU probe caveat as the main
+tables). Raw results: `{json.dumps(pairs)}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(md)
+    print(md)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "supplement":
+        supplement()
     else:
         orchestrate()

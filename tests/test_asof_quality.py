@@ -318,3 +318,45 @@ class TestSessionize:
             .collect()
         )
         assert via_label == via_window
+
+
+def test_decontam_foreachbatch_matches_batch(spark, tmp_path):
+    """Executable form of decontam_overlap's declared streaming stance
+    (SURVEY §2.10): per-doc computation against the broadcast benchmark
+    gram set has no cross-doc state, so applying the SAME fn per
+    micro-batch in foreachBatch and unioning the appended results equals
+    the batch run over all input."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely novel words without any leak at all"),
+            (3, "quick brown fox is here"),
+            (4, "the lazy dog naps under the quick brown fox"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX!")], "doc_id bigint, text string"
+    )
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    corpus.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def apply_decontam(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        benchmark_overlap(batch_df, bench, n=3).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_decontam)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, benchmark_overlap(corpus, bench, n=3).collect()))
+    assert got == want and got
