@@ -98,7 +98,10 @@ def worker(cpus: int, input_dir: str) -> None:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "20g")
+        # heap is a per-node resource that scales with per-node data in a
+        # real cluster; the 2x-input supplement needs 2x the state heap
+        # (HDFS-backed state store is on-heap; local mode is one JVM)
+        .config("spark.driver.memory", os.environ.get("GSZ_SCALE_DRIVER_MEM", "20g"))
         .config(
             "spark.driver.extraJavaOptions",
             f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cpus)}",
