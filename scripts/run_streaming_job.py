@@ -9,6 +9,7 @@ Deployment (north rule):
         --vertex-keys :label --edge-keys :label \
         --vertex-aggs count,avg:text_len --edge-aggs count \
         --window 600 --watermark "10 seconds" \
+        [--window-kind tumbling|sliding|session --slide 60 | --gap 1800] \
         [--input-format iceberg] [--salt 16] [--available-now]
 
 On a cluster the same script runs unchanged: master/executor topology comes
@@ -51,7 +52,7 @@ def parse_aggs(spec: str):
     return out
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -60,7 +61,12 @@ def main() -> None:
     ap.add_argument("--edge-keys", default=":label")
     ap.add_argument("--vertex-aggs", default="count")
     ap.add_argument("--edge-aggs", default="count")
-    ap.add_argument("--window", type=float, default=600, help="tumbling window seconds")
+    ap.add_argument(
+        "--window-kind", default="tumbling", choices=["tumbling", "sliding", "session"]
+    )
+    ap.add_argument("--window", type=float, default=600, help="window size seconds (tumbling/sliding)")
+    ap.add_argument("--slide", type=float, default=None, help="slide seconds (sliding only)")
+    ap.add_argument("--gap", type=float, default=None, help="inactivity gap seconds (session only)")
     ap.add_argument("--watermark", default="10 seconds")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--max-turn-gap", default="1 hour")
@@ -71,17 +77,28 @@ def main() -> None:
         help="run vertex+edge summaries as one discriminated-union query "
         "(one checkpoint/commit cycle; best when the cluster is saturated)",
     )
-    args = ap.parse_args()
+    return ap
 
+
+def build_grouping(args):
+    """CLI args → (StreamGraphConfig, GraphStreamGrouping); separated from
+    main() so the mapping is unit-testable without spark-submit."""
     from graph_stream_zoomer_spark import StreamGraphConfig, WindowConfig
     from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
-    from graph_stream_zoomer_spark.streaming.job import read_transcript_stream, run_grouping_job
 
-    spark = SparkSession.builder.appName("gsz-streaming-grouping").getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if args.window_kind == "sliding":
+        if args.slide is None:
+            raise SystemExit("--window-kind sliding requires --slide")
+        window = WindowConfig.sliding(args.window, args.slide, "SECONDS")
+    elif args.window_kind == "session":
+        if args.gap is None:
+            raise SystemExit("--window-kind session requires --gap")
+        window = WindowConfig.session(args.gap, "SECONDS")
+    else:
+        window = WindowConfig.tumbling(args.window, "SECONDS")
 
     cfg = StreamGraphConfig(
-        window=WindowConfig.tumbling(args.window, "SECONDS"),
+        window=window,
         watermark_delay=args.watermark,
         salt_buckets=args.salt,
     )
@@ -96,12 +113,24 @@ def main() -> None:
         b.add_vertex_aggregate_function(a)
     for a in parse_aggs(args.edge_aggs):
         b.add_edge_aggregate_function(a)
+    return cfg, b.build()
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+
+    from graph_stream_zoomer_spark.streaming.job import read_transcript_stream, run_grouping_job
+
+    spark = SparkSession.builder.appName("gsz-streaming-grouping").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    cfg, op = build_grouping(args)
 
     stream = read_transcript_stream(spark, args.input, fmt=args.input_format)
     result = run_grouping_job(
         spark,
         stream,
-        b.build(),
+        op,
         args.output,
         available_now=args.available_now,
         max_turn_gap=args.max_turn_gap,

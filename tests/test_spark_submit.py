@@ -31,6 +31,47 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_cli_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_streaming_job", os.path.join(REPO, "scripts", "run_streaming_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cli_window_kind_mapping():
+    """--window-kind/--slide/--gap map onto the three WindowConfig kinds the
+    north rule names (tumbling/sliding/session), and missing parameters
+    fail fast instead of silently falling back to tumbling."""
+    from graph_stream_zoomer_spark.config import WindowKind
+
+    cli = _load_cli_module()
+    base = ["--input", "/x", "--output", "/y"]
+    p = cli.build_parser()
+
+    cfg, op = cli.build_grouping(p.parse_args(base + ["--window", "300"]))
+    assert cfg.window.kind == WindowKind.TUMBLING and cfg.window.size_s == 300
+
+    cfg, _ = cli.build_grouping(
+        p.parse_args(base + ["--window-kind", "sliding", "--window", "120", "--slide", "60"])
+    )
+    assert cfg.window.kind == WindowKind.SLIDING
+    assert (cfg.window.size_s, cfg.window.slide_s) == (120, 60)
+
+    cfg, _ = cli.build_grouping(
+        p.parse_args(base + ["--window-kind", "session", "--gap", "1800"])
+    )
+    assert cfg.window.kind == WindowKind.SESSION and cfg.window.gap_s == 1800
+
+    with pytest.raises(SystemExit):
+        cli.build_grouping(p.parse_args(base + ["--window-kind", "sliding"]))
+    with pytest.raises(SystemExit):
+        cli.build_grouping(p.parse_args(base + ["--window-kind", "session"]))
+
+
 def _build_zip(dest: str) -> str:
     out = os.path.join(dest, "gsz.zip")
     pkg = os.path.join(REPO, "graph_stream_zoomer_spark")
