@@ -79,6 +79,10 @@ def pagerank_exact(
         if dangling == "redistribute"
         else None
     )
+    if dangling_verts is not None and dangling_verts.isEmpty():
+        # no dangling vertices: skip the per-round Σ-rank collect job
+        # entirely (it would return NULL and extra=0 every iteration)
+        dangling_verts = None
     for _ in range(iters):
         inc = (
             ew.join(ranks, ew.src == ranks.v)

@@ -408,12 +408,28 @@ def _fast_cell_resid_udf(coarse: list[tuple[int, list[float]]]):
         import numpy as np
         import pandas as pd
 
-        V = np.stack(vs.to_numpy()).astype(np.float64)
-        D = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8)
-        cell_ids = ids[np.argmin(D, axis=1)]
-        resid = V - np.stack([by_id[int(c)] for c in cell_ids])
+        arrs = vs.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == C.shape[1] for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        cell_out: list = [None] * len(arrs)
+        resid_out: list = [None] * len(arrs)
+        vi = np.flatnonzero(valid)
+        if len(vi):
+            V = np.stack([np.asarray(arrs[i], dtype=np.float64) for i in vi])
+            # half-up round-8 like _argmin_struct / _half_up8 (np.round is
+            # banker's and would tie-break differently at a .5 boundary);
+            # squared distances are non-negative so floor(x*1e8+0.5) is safe
+            D = np.floor(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) * 1e8 + 0.5) / 1e8
+            cell_ids = ids[np.argmin(D, axis=1)]
+            resid = V - np.stack([by_id[int(c)] for c in cell_ids])
+            for j, i in enumerate(vi):
+                cell_out[i] = int(cell_ids[j])
+                resid_out[i] = list(resid[j])
         return pd.DataFrame(
-            {"cell": cell_ids.astype(np.int32), "resid": list(resid)}
+            {"cell": pd.array(cell_out, dtype="Int32"), "resid": resid_out}
         )
 
     return F.pandas_udf(schema)(fn)
@@ -486,11 +502,24 @@ def _fast_cell_udf(coarse: list[tuple[int, list[float]]]):
         import numpy as np
         import pandas as pd
 
-        V = np.stack(vs.to_numpy()).astype(np.float64)
-        # termwise like the literal fold: dist[n, c] = Σ_i (V[n,i]-C[c,i])²
-        D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        D = np.round(D, 8)
-        return pd.Series(ids[np.argmin(D, axis=1)].astype(np.int32))
+        arrs = vs.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == C.shape[1] for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        out: list = [None] * len(arrs)
+        vi = np.flatnonzero(valid)
+        if len(vi):
+            V = np.stack([np.asarray(arrs[i], dtype=np.float64) for i in vi])
+            # termwise like the literal fold: dist[n, c] = Σ_i (V[n,i]-C[c,i])²
+            # half-up round-8 like _argmin_struct / _half_up8 (np.round is
+            # banker's and would tie-break differently at a .5 boundary)
+            D = np.floor(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) * 1e8 + 0.5) / 1e8
+            picks = ids[np.argmin(D, axis=1)]
+            for j, i in enumerate(vi):
+                out[i] = int(picks[j])
+        return pd.Series(pd.array(out, dtype="Int32"))
 
     return F.pandas_udf(IntegerType())(fn)
 
@@ -537,11 +566,6 @@ def ivfpq_topk(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if use_arrow_assign is None:
         use_arrow_assign = len(coarse) * dim > _LITERAL_CELL_BUDGET
-    if use_arrow_assign:
-        cell = _fast_cell_udf(coarse)(F.col(vec_col))
-    else:
-        cell = _argmin_struct(vec, 0, coarse, 8)["j"]
-    cells = corpus.select(F.col(id_col).alias("neighbor_id"), cell.alias("cell"))
     spark = corpus.sparkSession
 
     if by_residual:
@@ -551,6 +575,17 @@ def ivfpq_topk(
             id_col=id_col,
             vec_col=vec_col,
             use_arrow_assign=use_arrow_assign,
+        )
+        # the residual frame already carries each row's coarse cell —
+        # reuse it instead of a second full O(N × n_centroids × dim)
+        # assignment pass over the corpus (the dominant stage at a
+        # production-size quantizer). The lazy checkpoint makes the reuse
+        # PHYSICAL: cells and enc below sit on the two sides of a
+        # self-join, and without the boundary Catalyst duplicates the
+        # assignment subtree into both branches (no cross-branch CSE).
+        rframe = rframe.localCheckpoint(eager=False)
+        cells = rframe.select(
+            F.col(id_col).alias("neighbor_id"), F.col("_cell").cast("int").alias("cell")
         )
         if codebooks is None:
             # sampled residual codebooks: md5-sampled rows' residuals
@@ -597,6 +632,11 @@ def ivfpq_topk(
     else:
         if codebooks is None:
             raise ValueError("codebooks required when by_residual=False")
+        if use_arrow_assign:
+            cell = _fast_cell_udf(coarse)(F.col(vec_col))
+        else:
+            cell = _argmin_struct(vec, 0, coarse, 8)["j"]
+        cells = corpus.select(F.col(id_col).alias("neighbor_id"), cell.alias("cell"))
         enc = pq_encode(
             corpus, codebooks, id_col=id_col, vec_col=vec_col, use_arrow=use_arrow_encode
         ).select(

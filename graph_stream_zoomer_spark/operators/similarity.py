@@ -291,6 +291,11 @@ def _fast_nearest_cells_udf(ucents: list[tuple[int, list[float]]], n_cells: int)
     path's desc-(sim, centroid_id) tie-break; ``ucents`` components must
     already be unit-normalized (caller does it once, driver-side).
 
+    NULL, wrong-dimension, and zero-norm rows yield NULL (no cell) instead
+    of crashing the batch or picking an arbitrary cell — ``ivf_topk``
+    filters such rows out of BOTH probe paths so small- and large-model
+    deployments agree.
+
     Not bit-identical to the Catalyst fold (numpy pairwise summation vs
     the chained left-fold) — that's why the reproducible oracle mode never
     takes this path."""
@@ -304,12 +309,26 @@ def _fast_nearest_cells_udf(ucents: list[tuple[int, list[float]]], n_cells: int)
     def fn(vs: pd.Series) -> pd.Series:
         import numpy as np
 
-        V = np.stack(vs.to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(V, axis=1, keepdims=True)
-        np.divide(V, nrm, out=V, where=nrm > 0)
-        S = V @ C.T  # (N, n_centroids) cosine scores (centroids unit-norm)
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :n_cells]
-        return pd.Series(list(ids[idx]))
+        arrs = vs.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == C.shape[1] for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        out: list = [None] * len(arrs)
+        vi = np.flatnonzero(valid)
+        if len(vi):
+            V = np.stack([np.asarray(arrs[i], dtype=np.float64) for i in vi])
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            np.divide(V, nrm, out=V, where=nrm > 0)
+            S = V @ C.T  # (n, n_centroids) cosine scores (centroids unit-norm)
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :n_cells]
+            picks = ids[idx]
+            nz = nrm[:, 0] > 0
+            for j, i in enumerate(vi):
+                if nz[j]:
+                    out[i] = list(picks[j])
+        return pd.Series(out)
 
     return F.pandas_udf(ArrayType(LongType()))(fn)
 
@@ -364,6 +383,20 @@ def ivf_topk(
     for r in cent_rows:
         nrm = math.sqrt(sum(x * x for x in r["centroid"])) or 1.0
         ucents.append((r["centroid_id"], [x / nrm for x in r["centroid"]]))
+
+    # rows with no usable embedding (NULL, wrong dimension, zero norm) get
+    # no cell assignment on EITHER probe path — without this the literal
+    # fold null-ranks them while the Arrow matmul would pick an arbitrary
+    # cell, so the same pipeline would return different candidate sets on
+    # the two sides of _LITERAL_PROBE_BUDGET
+    dim = len(ucents[0][1])
+
+    def _usable(c: Column) -> Column:
+        arr = c.cast("array<double>")
+        return c.isNotNull() & (F.size(c) == dim) & (norm_expr(arr) > 0)
+
+    corpus = corpus.where(_usable(F.col(vec_col)))
+    queries = queries.where(_usable(F.col(vec_col)))
 
     n_terms = sum(len(c) for _, c in ucents)
     if not reproducible and n_terms > _LITERAL_PROBE_BUDGET:

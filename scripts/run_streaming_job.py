@@ -86,6 +86,10 @@ def build_grouping(args):
     from graph_stream_zoomer_spark import StreamGraphConfig, WindowConfig
     from graph_stream_zoomer_spark.operators.grouping import GroupingBuilder
 
+    if args.slide is not None and args.window_kind != "sliding":
+        raise SystemExit(f"--slide only applies to --window-kind sliding (got {args.window_kind})")
+    if args.gap is not None and args.window_kind != "session":
+        raise SystemExit(f"--gap only applies to --window-kind session (got {args.window_kind})")
     if args.window_kind == "sliding":
         if args.slide is None:
             raise SystemExit("--window-kind sliding requires --slide")

@@ -225,14 +225,22 @@ def measure_raw_concurrency() -> dict[int, float]:
     return out
 
 
-def run_level(cpus: int, input_dir: str) -> dict:
+def run_level(cpus: int, input_dir: str, extra_env: dict | None = None) -> dict:
     cores = ",".join(str(i) for i in range(cpus))
+    # explicit env: the skip-batch flag must reach ONLY the workers a
+    # supplement run spawns — a leaked shell export must not silently turn
+    # an orchestrate() run into a stream-only one (its PAIR math would
+    # divide by a None batch_tps after ~10 min of compute)
+    env = dict(os.environ)
+    env.pop("GSZ_SCALE_SKIP_BATCH", None)
+    env.update(extra_env or {})
     p = subprocess.run(
         ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__), "worker",
          str(cpus), input_dir],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
     if not line:
@@ -494,13 +502,13 @@ def supplement() -> None:
     )
     spark.stop()
 
-    os.environ["GSZ_SCALE_SKIP_BATCH"] = "1"
+    skip = {"GSZ_SCALE_SKIP_BATCH": "1"}
     lo, hi = LEVELS
     factor = hi / lo
     pairs = []
     for rep in range(reps):
-        r_lo = run_level(lo, input_dir)
-        r_hi = run_level(hi, input_dir)
+        r_lo = run_level(lo, input_dir, skip)
+        r_hi = run_level(hi, input_dir, skip)
         pairs.append((r_lo, r_hi))
         print(
             f"SUP PAIR {rep}: stream {(r_hi['stream_tps']/r_lo['stream_tps'])/factor:.2f}",
@@ -532,8 +540,19 @@ the north rule's 10^12-turn regime takes to its limit.
 hardware-normalized {eff_hw:.2f} (same pure-CPU probe caveat as the main
 tables). Raw results: `{json.dumps(pairs)}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write(md)
+    # replace any previous supplement section (a rerun must not accumulate
+    # same-titled sections with conflicting numbers)
+    bench_path = os.path.join(REPO, "BENCH.md")
+    header = "## Streaming input-scaling supplement"
+    lines, keep = [], True
+    if os.path.exists(bench_path):
+        for line in open(bench_path):
+            if line.startswith("## "):
+                keep = not line.startswith(header)
+            if keep:
+                lines.append(line)
+    with open(bench_path, "w") as f:
+        f.write("".join(lines).rstrip("\n") + "\n" + md)
     print(md)
 
 

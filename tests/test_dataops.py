@@ -772,3 +772,32 @@ def test_ivf_probe_arrow_above_literal_budget(spark, monkeypatch):
     build_s = time.monotonic() - t0
     assert build_s < 5.0, f"plan build at 256 centroids took {build_s:.1f}s"
     emb.unpersist()
+
+
+def test_ivf_topk_degraded_rows_agree_across_probe_paths(spark, monkeypatch):
+    """NULL, wrong-dimension, and zero-norm embeddings must not crash the
+    Arrow probe (np.stack over ragged input) and must be excluded from
+    candidates on BOTH probe paths — before this pin, the literal fold
+    null-ranked such rows while the Arrow matmul either crashed (ragged)
+    or assigned an arbitrary cell (zero-norm), so the same pipeline gave
+    different answers on the two sides of _LITERAL_PROBE_BUDGET."""
+    from graph_stream_zoomer_spark.operators import similarity as sim
+
+    base = [(i, [float((i * 7 + j * 3) % 11) + 1.0 for j in range(4)]) for i in range(20)]
+    rows = base + [(100, None), (101, [0.0, 0.0, 0.0, 0.0]), (102, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where(F.col("vec_id").isin(0, 100, 101, 102))
+    cents = [(i, c) for i, c in base[:4]]
+
+    def got(df):
+        return [
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 4), r["rank"])
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    lit = got(sim.ivf_topk(emb, q, k=5, centroids=cents))
+    monkeypatch.setattr(sim, "_LITERAL_PROBE_BUDGET", 0)
+    arrow = got(sim.ivf_topk(emb, q, k=5, centroids=cents))
+    assert arrow == lit
+    ids = {t[0] for t in lit} | {t[1] for t in lit}
+    assert ids and not ids & {100, 101, 102}

@@ -271,3 +271,41 @@ def test_ivfpq_arrow_assign_matches_literal(spark):
     b = {r["vec_id"]: (r["_cell"], tuple(round(x, 9) for x in r["_resid"])) for r in arw_rf.collect()}
     assert a == b
     emb.unpersist()
+
+
+def test_residual_frame_arrow_tolerates_degraded_rows(spark):
+    """The Arrow cell-assign twins must not crash on NULL / wrong-dimension
+    embedding rows (np.stack over ragged input raised before this pin) —
+    degraded rows come back with NULL cell/resid, matching the literal
+    fold's NULL propagation."""
+    from graph_stream_zoomer_spark.operators.pq import residual_frame
+
+    rows = [(i, [float((i * 5 + j) % 7) + 1.0 for j in range(4)]) for i in range(12)]
+    rows += [(100, None), (101, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    coarse = [(i, c) for i, c in rows[:3]]
+
+    out = {r["vec_id"]: r["_cell"] for r in residual_frame(emb, coarse, use_arrow_assign=True).collect()}
+    assert out[100] is None and out[101] is None
+    assert all(out[i] is not None for i in range(12))
+
+
+def test_ivfpq_residual_single_assignment_pass(spark):
+    """by_residual mode must reuse the residual frame's cell column instead
+    of a second full coarse-assignment pass over the corpus: exactly one
+    Arrow cell-assign evaluation in the plan (plus the encode UDF)."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import ivfpq_topk, sample_coarse_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    coarse = sample_coarse_centroids(emb)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 2).collect()
+    ]
+    df = ivfpq_topk(emb, queries, coarse, k=5, by_residual=True, use_arrow_assign=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_arrow = plan.count("ArrowEvalPython")
+    assert n_arrow <= 2, f"expected cell-assign + encode only, got {n_arrow} ArrowEvalPython nodes"
+    assert df.count() > 0

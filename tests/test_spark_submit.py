@@ -70,6 +70,12 @@ def test_cli_window_kind_mapping():
         cli.build_grouping(p.parse_args(base + ["--window-kind", "sliding"]))
     with pytest.raises(SystemExit):
         cli.build_grouping(p.parse_args(base + ["--window-kind", "session"]))
+    # contradictory flags fail fast too: --gap without session (or --slide
+    # without sliding) must not silently run a tumbling window
+    with pytest.raises(SystemExit):
+        cli.build_grouping(p.parse_args(base + ["--gap", "1800"]))
+    with pytest.raises(SystemExit):
+        cli.build_grouping(p.parse_args(base + ["--window-kind", "session", "--gap", "60", "--slide", "30"]))
 
 
 def _build_zip(dest: str) -> str:
