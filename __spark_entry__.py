@@ -2918,6 +2918,127 @@ FROM reasons
 # contract surface
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# deterministic sketches: KMV distinct, count-min heavy hitters, bloom join
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per (event_type, week)
+    — operators/sketches.py kmv_distinct, reproducible (md5) mode; the
+    estimator is integer arithmetic so both engines agree bit-for-bit."""
+    from graph_stream_zoomer_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evw = ev.select(
+        "event_type",
+        "user_id",
+        (F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 604800) * 604800)
+        .cast("long")
+        .alias("week_s"),
+    )
+    return kmv_distinct(
+        evw, "user_id", k=64, group_cols=["event_type", "week_s"], reproducible=True
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts)/604800) AS BIGINT)*604800 AS week_s,
+         ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM events
+), r AS (
+  SELECT event_type, week_s, hh,
+         row_number() OVER (PARTITION BY event_type, week_s ORDER BY hh) AS rn
+  FROM h
+)
+SELECT event_type, week_s,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE (63 * 4294967296) // greatest(MAX(hh), 1) END AS BIGINT)
+         AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY 1, 2
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: users whose CMS frequency estimate is ≥ 78
+    events — operators/sketches.py cms_heavy_hitters (reproducible mode).
+    One-sided error: the candidate set can only over-include."""
+    from graph_stream_zoomer_spark.operators.sketches import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_heavy_hitters(
+        ev, "user_id", threshold=78, width=1024, depth=4, reproducible=True
+    )
+
+
+_CMS_SQL = """
+WITH sk AS (
+  SELECT t.r AS row_idx,
+         ('0x' || substr(md5(t.r || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN range(4) t(r) GROUP BY 1, 2
+), cand AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id, t.r AS row_idx,
+         ('0x' || substr(md5(t.r || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket
+  FROM cand CROSS JOIN range(4) t(r)
+)
+SELECT user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM probes LEFT JOIN sk USING (row_idx, bucket)
+GROUP BY 1 HAVING MIN(COALESCE(sk.cnt, 0)) >= 78
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: orders whose custkey (probably) belongs to a
+    BUILDING-segment customer — operators/sketches.py bloom_semi_join,
+    reproducible mode. Zero probe-side shuffle (plan-pinned); the
+    deterministic false-positive set is reconstructed identically by the
+    SQL oracle."""
+    from graph_stream_zoomer_spark.operators.sketches import bloom_semi_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    build = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return bloom_semi_join(
+        orders, "o_custkey", build, "c_custkey",
+        num_bits=4096, num_hashes=5, reproducible=True,
+    )
+
+
+_BLOOM_SQL = """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT ('0x' || substr(md5(t.r || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS pos
+  FROM b CROSS JOIN range(5) t(r)
+),
+w AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+pb AS (
+  SELECT o_orderkey, o_custkey, p // 32 AS word,
+         (1::BIGINT << CAST(p % 32 AS INTEGER)) AS bit
+  FROM (
+    SELECT o_orderkey, o_custkey,
+           ('0x' || substr(md5(t.r || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p
+    FROM orders CROSS JOIN range(5) t(r)
+  )
+)
+SELECT o_orderkey, o_custkey
+FROM pb LEFT JOIN w USING (word)
+GROUP BY 1, 2
+HAVING bool_and((COALESCE(w.bits, 0) & pb.bit) <> 0)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -2936,6 +3057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- keys without a driver-green record yet (r03 gate window ended
         # --- at 50/69; all 19 verified green by scripts/local_verify.py)
+        "kmv_distinct": q_kmv_distinct,  # NEW in r04 (sketches family)
+        "cms_heavy_hitters": q_cms_heavy_hitters,  # NEW in r04
+        "bloom_semi_join": q_bloom_semi_join,  # NEW in r04
         "pack_sequences": q_pack_sequences,
         "kmeans_centroids": q_kmeans_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2976,17 +3100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline operators (r03 driver-green)
         "decontam_overlap": q_decontam_overlap,
         "bm25_scores": q_bm25_scores,
-        "table_profile": q_table_profile,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_int8_topk": q_ann_int8_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk_multi": q_ann_lsh_topk_multi,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
@@ -3032,6 +3153,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # = dedup_exact over a fingerprint column (text_fingerprint holds
         # a gate slot)
         "dedup_fingerprint": q_dedup_fingerprint,
+        # r03 driver-green rows ceding their gate slots to the r04 sketch
+        # family (kmv/cms/bloom): brute-force cosine top-k's rank-on-(round,
+        # id) machinery recurs in ann_int8_topk and ann_cosine_scores below;
+        # keep-best = survivor selection over dedup_clusters' components
+        # output (join pinned by tests/test_dataops.py); table_profile is
+        # plain per-column aggregates (machinery subsumed by the grouping
+        # aggregates + embedding_stats rows)
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_keep_best": q_dedup_keep_best,
+        "table_profile": q_table_profile,
         # scoring core proven by ann_cosine_topk
         "ann_cosine_scores": q_ann_cosine_scores,
         # single-table LSH = ann_lsh_topk_multi at L=1
@@ -3047,6 +3178,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the 50 driver-gated queries() keys, same order."""
     return {
+        "kmv_distinct": _KMV_SQL,
+        "cms_heavy_hitters": _CMS_SQL,
+        "bloom_semi_join": _BLOOM_SQL,
         "pack_sequences": _PACK_SQL,
         "kmeans_centroids": _KMEANS_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
@@ -3084,17 +3218,14 @@ def oracle_sql() -> dict[str, str]:
         "asof_click": _ASOF_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "bm25_scores": _BM25_SQL,
-        "table_profile": _PROFILE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-        "dedup_keep_best": _KEEP_BEST_SQL,
         "dedup_spans": _SPANS_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
-        "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk_multi": _ANN_LSH_MULTI_SQL,
         "ann_ivfpq_topk": _IVFPQ_SQL,
     }
@@ -3116,6 +3247,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_SQL,
         "lm_doc_scores": _LM_SCORES_SQL,
         "text_repetition": _REPETITION_SQL,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        "dedup_keep_best": _KEEP_BEST_SQL,
+        "table_profile": _PROFILE_SQL,
         "dedup_first_occurrence": _FIRST_OCC_SQL,
         "dedup_fingerprint": _DEDUP_FP_SQL,
         "ann_cosine_scores": _ANN_SCORES_SQL,

@@ -236,6 +236,32 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         lambda: embedding_near_duplicates(emb, threshold=0.4).count(),  # default buckets
     )
 
+    # sketch family, deployment (xxhash64) paths — the driver-gate rows run
+    # the md5 reproducible modes
+    from graph_stream_zoomer_spark.operators.sketches import (
+        bloom_semi_join,
+        cms_heavy_hitters,
+        kmv_distinct,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    run(
+        "kmv_distinct_fast",
+        lambda: kmv_distinct(ev, "user_id", k=64, group_cols=["event_type"]).count(),
+    )
+    run(
+        "cms_heavy_hitters_fast",
+        lambda: cms_heavy_hitters(ev, "user_id", threshold=78).count(),
+    )
+
+    def _bloom_prune_orders():
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        return bloom_semi_join(orders, "o_custkey", build, "c_custkey").count()
+
+    run("bloom_semi_join_fast", _bloom_prune_orders)
+
     def _kmeans_train_ivf():
         # coarse-quantizer training (Arrow matmul assignment, 2 Lloyd
         # rounds — ~1.7 s/round of per-job fixed cost at this sf) + one

@@ -1,0 +1,261 @@
+"""Deterministic mergeable sketches — cardinality, frequency, and
+membership summaries a 100 TB training-data pipeline needs where exact
+answers would shuffle the corpus (Bar-Yossef et al. KMV distinct counting,
+RANDOM'02; Cormode & Muthukrishnan count-min, J.Alg 2005; Bloom CACM 1970).
+No reference equivalent (graph-stream-zoomer has no sketch operators); the
+Spark-first designs below are all algebraic — partial-aggregating,
+mergeable across partitions/windows, and (in ``reproducible`` mode)
+bit-exactly reconstructible in ANSI SQL for the DuckDB oracle harness.
+
+Scale notes (what survives a 1000-executor run):
+  - KMV distinct: ONE window exchange on the group key (``pre_distinct=False``)
+    or distinct-first (default) when duplication is high — the distinct's
+    partial aggregation combines map-side, so the shuffle carries distinct
+    (group, hash) rows, not the corpus. The estimate itself is integer
+    arithmetic: ``(k-1) * 2^32 div kth_min_hash`` — order-free and
+    hash-exact cross-engine (no float accumulation).
+  - Count-min: the sketch is ``depth × width`` counters built by ONE
+    partially-aggregated groupBy — shuffle volume is bounded by
+    ``depth*width`` rows PER MAP TASK regardless of corpus size, and two
+    sketches merge by adding counters (windowed/streaming-friendly).
+  - Bloom semi-join: the classic shuffle-avoidance move — build a bitmap
+    from the SMALL side (same smallness contract as any broadcast join),
+    broadcast the single-row bitmap, and filter the 100 TB probe side with
+    ZERO probe-side shuffle (plan-pinned). False positives only — the
+    output is a superset of the true semi-join, to be tightened by the
+    real join downstream; false negatives are impossible (pinned).
+  - Hash choice: ``reproducible=True`` derives every hash from
+    md5(seed:value) — 32-bit, available in DuckDB for the oracle; the
+    deployment default is xxhash64 (JVM codegen, no string md5 per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HASH_SPACE = 1 << 32  # reproducible h32 range; fast path is pmod-folded into it
+
+def _word_and_bit(pos: Column) -> tuple[Column, Column]:
+    # 1 << (pos % 32) as a 32-literal array lookup: pyspark's shiftleft()
+    # takes a Python-int shift only; a constant array + element_at folds in
+    # Catalyst. Built per-call — F.lit needs an active session.
+    bit_lut = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    word = (pos / 32).cast("int")
+    bit = F.element_at(bit_lut, (pos % 32).cast("int") + 1)
+    return word, bit
+
+
+def _hash32(col: Column, seed: int, reproducible: bool) -> Column:
+    """Non-negative hash in [0, 2^32): md5-derived (SQL-portable) or
+    xxhash64 folded by pmod (deployment — stays in codegen, no per-row
+    string md5). DuckDB twin of the reproducible form:
+    ``('0x' || substr(md5(seed || ':' || CAST(x AS VARCHAR)), 1, 8))::BIGINT``.
+    """
+    if reproducible:
+        payload = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+        return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return F.pmod(F.xxhash64(F.lit(seed), col), F.lit(_HASH_SPACE)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    reproducible: bool = False,
+    pre_distinct: bool = True,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group via the k smallest distinct
+    hash values (Bar-Yossef et al.): with fewer than ``k`` distinct values
+    the count is EXACT; otherwise ``est = (k-1) * 2^32 div kth_min`` —
+    standard error ~ 1/sqrt(k-2). Integer-exact estimator: no float in the
+    pipeline, so Spark and the SQL oracle agree bit-for-bit.
+
+    Two plan shapes (both correct; pick by duplication ratio):
+      - ``pre_distinct=True`` (default, high-duplication corpora): distinct
+        (group, hash) first — partial agg combines map-side, the shuffle
+        carries distinct rows only; then one window exchange on the group.
+      - ``pre_distinct=False`` (near-unique keys): a single ``dense_rank``
+        window exchange does dedup + ranking in one pass over raw rows.
+
+    Returns one row per group: ``group_cols… , est_distinct: bigint``.
+    """
+    g = list(group_cols or [])
+    h = _hash32(F.col(col), 0, reproducible)
+    est_expr = F.when(
+        F.col("_n") < k, F.col("_n")
+    ).otherwise(
+        F.expr(f"div({(k - 1) * _HASH_SPACE}L, greatest(_kth, 1L))")
+    )
+    if not g:
+        # global sketch: an empty-partition window would be a single-
+        # partition global sort; orderBy().limit(k) is TakeOrdered —
+        # per-partition top-k merged on the driver, k rows moved total.
+        kept = df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
+        agg = kept.agg(F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth"))
+        return agg.select(est_expr.cast("long").alias("est_distinct"))
+    if pre_distinct:
+        hashed = df.select(*g, h.alias("_h")).distinct()
+        w = Window.partitionBy(*g).orderBy("_h")
+        kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+        agg = kept.groupBy(*g).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
+        )
+    else:
+        w = Window.partitionBy(*g).orderBy("_h")
+        ranked = df.select(*g, h.alias("_h")).withColumn("_dr", F.dense_rank().over(w))
+        kept = ranked.where(F.col("_dr") <= k)
+        agg = kept.groupBy(*g).agg(
+            F.max("_dr").alias("_n"), F.max("_h").alias("_kth")
+        )
+    return agg.select(*g, est_expr.cast("long").alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation + heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Build a count-min sketch of ``col``'s frequency distribution: one row
+    per (row_idx, bucket) with the counter value. ONE groupBy — the
+    posexplode fans each input row to ``depth`` (row, bucket) pairs map-side
+    and partial aggregation collapses them to at most ``depth*width``
+    counters per task before the (tiny) shuffle. Two sketches over disjoint
+    data merge by summing counters — windowed / streaming-incremental by
+    construction.
+    """
+    c = F.col(col)
+    buckets = F.array(
+        *[F.pmod(_hash32(c, r, reproducible), F.lit(width)) for r in range(depth)]
+    )
+    pairs = df.select(F.posexplode(buckets).alias("row_idx", "bucket"))
+    return pairs.groupBy("row_idx", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Point-estimate the frequency of each item: min over the sketch's
+    ``depth`` rows of the item's counter (one-sided error — never an
+    underestimate). The sketch (≤ depth*width rows) is broadcast; the only
+    item-side exchange is the final min-per-item groupBy, which rides the
+    posexplode's partitioning when ``items`` is already item-partitioned
+    (e.g. the output of a distinct). Empty buckets count as 0.
+    """
+    c = F.col(item_col)
+    buckets = F.array(
+        *[F.pmod(_hash32(c, r, reproducible), F.lit(width)) for r in range(depth)]
+    )
+    probes = items.select(
+        item_col, F.posexplode(buckets).alias("row_idx", "bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 4,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Items whose count-min frequency estimate is ≥ ``threshold``. The
+    one-sided CMS guarantee means NO true heavy hitter is missed; collision
+    overestimates can only add candidates (filter exactly downstream if
+    needed). Candidate set = distinct items of ``df`` here; at 100 TB pass
+    a pre-sampled / pre-filtered candidate frame to ``cms_lookup`` instead
+    of re-scanning the corpus for candidates.
+    """
+    sketch = cms_sketch(df, col, width, depth, reproducible)
+    candidates = df.select(col).distinct()
+    est = cms_lookup(sketch, candidates, col, width, depth, reproducible)
+    return est.where(F.col("est_count") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Bloom bitmap of ``col`` as (word:int, bits:bigint) rows — 32 bits
+    per word (shift stays far from BIGINT sign overflow on every engine).
+    ONE exchange: each row fans to ``num_hashes`` (word, bit) pairs map-side
+    and ``bit_or`` partial-aggregates to ≤ num_bits/32 rows per task.
+    Bitmaps of disjoint inputs merge by word-wise ``bit_or`` (idempotent —
+    re-delivered rows are harmless, so streaming twins need no dedup).
+    """
+    c = F.col(col)
+    positions = F.array(
+        *[F.pmod(_hash32(c, r, reproducible), F.lit(num_bits)) for r in range(num_hashes)]
+    )
+    word, bit = _word_and_bit(F.col("pos"))
+    pairs = df.select(F.explode(positions).alias("pos")).select(
+        word.alias("word"), bit.alias("bit")
+    )
+    return pairs.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_col: str,
+    build: DataFrame,
+    build_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key is (probably) present in
+    ``build`` — the bloom-pruned semi-join. The build side must be the
+    small side (the same contract as a broadcast join); its bitmap is
+    collapsed to ONE map-typed row and broadcast, so the probe side is a
+    scan + filter with ZERO shuffle (plan-pinned in tests/test_plans.py) —
+    at 100 TB this prunes the big side before any real join pays its
+    exchange. Output keeps every true member (no false negatives — pinned)
+    plus a deterministic, hash-defined set of false positives
+    (~(1 - e^(-kn/m))^k); run the exact join on the survivors when the
+    final answer must be FP-free.
+    """
+    words = bloom_bits(build, build_col, num_bits, num_hashes, reproducible)
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_bloom")
+    )
+    c = F.col(probe_col)
+    member = F.lit(True)
+    for r in range(num_hashes):
+        pos = F.pmod(_hash32(c, r, reproducible), F.lit(num_bits))
+        word, bit = _word_and_bit(pos)
+        member = member & (
+            F.coalesce(F.element_at(F.col("_bloom"), word), F.lit(0)).bitwiseAND(bit) != 0
+        )
+    out_cols = probe.columns
+    return probe.crossJoin(F.broadcast(bitmap)).where(member).select(*out_cols)

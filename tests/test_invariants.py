@@ -236,5 +236,7 @@ def test_driver_registry_contract():
         "bpe_token_counts", "doc_chunks", "text_split_counts", "doc_sample",
         "media_digests", "conv_rollup", "interval_join_first5m", "pii_redact",
         "doc_mix_sample", "sessionize", "quality_filter", "ann_ivfpq_residual",
+        # new in r04 — the sketches family
+        "kmv_distinct", "cms_heavy_hitters", "bloom_semi_join",
     }
-    assert set(list(q)[:20]) == r03_unproven
+    assert set(list(q)[: len(r03_unproven)]) == r03_unproven

@@ -1,0 +1,212 @@
+"""Sketch operators: KMV distinct, count-min, bloom semi-join — accuracy
+guarantees, cross-path agreement, mergeability, and plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_stream_zoomer_spark.operators.sketches import (
+    bloom_bits,
+    bloom_semi_join,
+    cms_heavy_hitters,
+    cms_lookup,
+    cms_sketch,
+    kmv_distinct,
+)
+from graph_stream_zoomer_spark.plans.inspect import plan_stats
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_kmv_exact_below_k(events, reproducible):
+    """With fewer than k distinct values the KMV 'estimate' is exact."""
+    got = kmv_distinct(
+        events, "user_id", k=1024, group_cols=["event_type"], reproducible=reproducible
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    rows = got.join(exact, "event_type").collect()
+    assert len(rows) == 5
+    assert all(r.est_distinct == r.exact for r in rows), rows
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_kmv_estimator_error_bound(events, reproducible):
+    """Estimator branch (150 distinct users > k=64): relative error within
+    ~3 standard errors (1/sqrt(k-2) ≈ 12.7%) on the deterministic fixture."""
+    got = kmv_distinct(events, "user_id", k=64, group_cols=["event_type"],
+                       reproducible=reproducible).collect()
+    assert len(got) == 5
+    for r in got:
+        assert abs(r.est_distinct - 150) / 150 < 0.40, got
+
+
+def test_kmv_global_uses_take_ordered(events):
+    """group_cols=None must NOT plan an empty-partition window (global
+    single-partition sort): the global sketch is distinct → TakeOrdered."""
+    got = kmv_distinct(events, "user_id", k=64, reproducible=True)
+    st = plan_stats(got)
+    assert "Window" not in st.text, st.text[:3000]
+    assert "TakeOrderedAndProject" in st.text, st.text[:3000]
+    (row,) = got.collect()
+    assert abs(row.est_distinct - 150) / 150 < 0.40
+
+
+def test_kmv_both_plan_shapes_agree(events):
+    """pre_distinct=True (distinct-first) and pre_distinct=False (single
+    dense_rank exchange) are alternative PLANS of the same estimator —
+    identical output bit-for-bit."""
+    a = kmv_distinct(events, "user_id", k=64, group_cols=["event_type"],
+                     reproducible=True, pre_distinct=True)
+    b = kmv_distinct(events, "user_id", k=64, group_cols=["event_type"],
+                     reproducible=True, pre_distinct=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_dense_rank_single_exchange(events):
+    """The pre_distinct=False shape is ONE shuffle end-to-end (window dedup
+    + rank + group agg all ride the same group-key partitioning)."""
+    st = plan_stats(
+        kmv_distinct(events, "user_id", k=64, group_cols=["event_type"],
+                     pre_distinct=False)
+    )
+    assert st.num_exchanges == 1, st.text[:3000]
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_cms_never_underestimates(events, reproducible):
+    """The CMS guarantee: est >= true count for EVERY item, even at a width
+    small enough to force collisions."""
+    sketch = cms_sketch(events, "user_id", width=64, depth=4, reproducible=reproducible)
+    cand = events.select("user_id").distinct()
+    est = cms_lookup(sketch, cand, "user_id", width=64, depth=4,
+                     reproducible=reproducible)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    rows = est.join(exact, "user_id").collect()
+    assert len(rows) == 150
+    assert all(r.est_count >= r.c for r in rows)
+
+
+def test_cms_exact_when_wide(events):
+    """At width >> n_distinct * depth the min over rows sheds all
+    collisions: heavy hitters == exact heavy hitters with exact counts."""
+    hh = cms_heavy_hitters(events, "user_id", threshold=78, width=4096, depth=4)
+    exact = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c >= 78
+    }
+    got = {r.user_id: r.est_count for r in hh.collect()}
+    assert got == exact
+
+
+def test_cms_sketches_merge_by_addition(events, spark):
+    """CMS is algebraic: counter-wise sum of two disjoint halves' sketches
+    == the whole corpus's sketch (the streaming/windowed-merge contract)."""
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_sketch(a, "user_id", width=256, depth=4)
+        .unionAll(cms_sketch(b, "user_id", width=256, depth=4))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(events, "user_id", width=256, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_build_single_exchange(events):
+    st = plan_stats(cms_sketch(events, "user_id"))
+    assert st.num_exchanges == 1, st.text[:3000]
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@pytest.fixture(scope="module")
+def building(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_bloom_no_false_negatives(orders, building, reproducible):
+    out = bloom_semi_join(orders, "o_custkey", building, "c_custkey",
+                          num_bits=4096, num_hashes=5, reproducible=reproducible)
+    true_sj = orders.join(
+        building, orders.o_custkey == building.c_custkey, "left_semi"
+    )
+    assert true_sj.exceptAll(out).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(orders, building):
+    """FP rate ≈ (1 - e^(-kn/m))^k ≈ 0.3% at n=302, m=4096, k=5; allow 6x
+    slack for hash nonuniformity on the small fixture."""
+    out = bloom_semi_join(orders, "o_custkey", building, "c_custkey",
+                          num_bits=4096, num_hashes=5)
+    true_n = orders.join(
+        building, orders.o_custkey == building.c_custkey, "left_semi"
+    ).count()
+    fp = out.count() - true_n
+    assert fp >= 0
+    assert fp <= 0.018 * orders.count(), fp
+
+
+def test_bloom_bitmaps_merge_by_bit_or(building, spark):
+    """Bitmap of A ∪ B == word-wise bit_or of the two bitmaps (idempotent —
+    re-delivered rows are harmless)."""
+    a = building.where(F.col("c_custkey") % 2 == 0)
+    b = building.where(F.col("c_custkey") % 2 == 1)
+    merged = (
+        bloom_bits(a, "c_custkey", 4096, 5)
+        .unionAll(bloom_bits(b, "c_custkey", 4096, 5))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = bloom_bits(building, "c_custkey", 4096, 5)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_probe_side_is_shuffle_free(orders, building):
+    """The 100-TB contract: every exchange sits under the broadcast build
+    subtree; the probe side is scan → broadcast-join → filter."""
+    out = bloom_semi_join(orders, "o_custkey", building, "c_custkey")
+    st = plan_stats(out)
+    assert st.num_sortmerge_joins == 0
+    assert len(re.findall(r"BroadcastNestedLoopJoin", st.text)) >= 1
+    # 2 exchanges total, both on the (tiny) bitmap build side
+    assert st.num_exchanges <= 2, st.text[:3000]
+    # no Python anywhere — the whole pipeline is Catalyst expressions
+    assert "EvalPython" not in st.text
