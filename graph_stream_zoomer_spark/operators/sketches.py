@@ -88,6 +88,9 @@ def kmv_distinct(
     Returns one row per group: ``group_cols… , est_distinct: bigint``.
     """
     g = list(group_cols or [])
+    # NULL keys hash to NULL, which Spark windows sort FIRST and SQL engines
+    # sort LAST — and COUNT(DISTINCT) ignores NULL anyway: drop them.
+    df = df.where(F.col(col).isNotNull())
     h = _hash32(F.col(col), 0, reproducible)
     est_expr = F.when(
         F.col("_n") < k, F.col("_n")
@@ -142,7 +145,9 @@ def cms_sketch(
     buckets = F.array(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(width)) for r in range(depth)]
     )
-    pairs = df.select(F.posexplode(buckets).alias("row_idx", "bucket"))
+    pairs = df.where(c.isNotNull()).select(
+        F.posexplode(buckets).alias("row_idx", "bucket")
+    )
     return pairs.groupBy("row_idx", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -219,7 +224,7 @@ def bloom_bits(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(num_bits)) for r in range(num_hashes)]
     )
     word, bit = _word_and_bit(F.col("pos"))
-    pairs = df.select(F.explode(positions).alias("pos")).select(
+    pairs = df.where(c.isNotNull()).select(F.explode(positions).alias("pos")).select(
         word.alias("word"), bit.alias("bit")
     )
     return pairs.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))

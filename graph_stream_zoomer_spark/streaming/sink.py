@@ -77,6 +77,26 @@ class IdempotentParquetSink:
         os.replace(tmp, self.commits_path)
 
     # -- foreachBatch body --------------------------------------------------
+    @staticmethod
+    def _footer_counts(written_dir: str) -> dict[int, int]:
+        """Per-partition row counts from the written part files' parquet
+        footers — metadata-only reads, no Spark job. The part index in the
+        filename IS the task partition index, so this reproduces the
+        spark_partition_id breakdown the lineage contract promises."""
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for name in os.listdir(written_dir):
+            m = _re.match(r"part-(\d+)", name)
+            if not m or not name.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(written_dir, name)).metadata.num_rows
+            if n:
+                counts[int(m.group(1))] = int(n)
+        return counts
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed():
             return  # replayed batch after restart — idempotent skip
@@ -87,33 +107,32 @@ class IdempotentParquetSink:
         target = os.path.join(self.data_dir, f"batch_id={batch_id}")
         tmp = target + ".tmp"
         # Every action on a foreachBatch DataFrame re-executes the whole
-        # micro-batch plan (stateful join + agg included), so cache the
-        # (small, post-aggregation) summary rows: the lineage count runs the
-        # plan exactly once, the write reads the cache.
-        flat.persist()
-        try:
-            part_counts = (
-                flat.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-            )
-            n_rows = int(sum(r["count"] for r in part_counts))
-            if n_rows:
-                flat.write.mode("overwrite").parquet(tmp)
-        finally:
-            flat.unpersist()
+        # micro-batch plan (stateful join + agg included), so the write is
+        # the ONE action per batch: it executes the plan exactly once, and
+        # the lineage row counts come from the written files' parquet
+        # footers (metadata reads) instead of a second count job over a
+        # persisted copy of the summary rows.
+        flat.write.mode("overwrite").parquet(tmp)
+        part_counts = self._footer_counts(tmp)
+        n_rows = int(sum(part_counts.values()))
         if n_rows:
             if os.path.exists(target):  # crashed after write, before commit log
                 import shutil
 
                 shutil.rmtree(target)
             os.replace(tmp, target)
-        # empty batches (e.g. the first availableNow batch, where the
-        # watermark has not yet closed any window) are committed in the log
-        # but skip the no-op parquet job — read() tolerates the missing dir
+        else:
+            # empty batches (e.g. the first availableNow batch, where the
+            # watermark has not yet closed any window) commit in the log but
+            # leave no data dir — read() tolerates the missing dir
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         self._record_commit(batch_id)
         rec = {
             "batch_id": batch_id,
             "rows": n_rows,
-            "partitions": {int(r["pid"]): int(r["count"]) for r in part_counts},
+            "partitions": part_counts,
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.time(),
         }
