@@ -3039,6 +3039,32 @@ HAVING bool_and((COALESCE(w.bits, 0) & pb.bit) <> 0)
 """
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (operators/skew.py): top heavy keys with ppm
+    fixed-point share/skew figures — the pre-pass that decides
+    salt_buckets. Integer arithmetic only, hash-exact cross-engine."""
+    from graph_stream_zoomer_spark.operators.skew import skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(ev, ["event_type", "user_id"], top_k=10)
+
+
+_SKEW_SQL = """
+WITH counts AS (
+  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), t AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank,
+       key, cnt,
+       cnt * 1000000 // n_rows AS share_ppm,
+       cnt * n_keys * 1000000 // n_rows AS skew_ppm
+FROM counts, t
+ORDER BY cnt DESC, key ASC LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -3172,6 +3198,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         # int8 quantization proven end-to-end by ann_int8_topk
         "embedding_quantize": q_embedding_quantize,
+        # groupBy-count + rank machinery proven by graph_group_top_transitions;
+        # the ppm figures are plain integer projections
+        "skew_profile": q_skew_profile,
     }
 
 
@@ -3257,4 +3286,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "pq_codes": _PQ_SQL,
         "pq_adc_topk": _PQ_ADC_SQL,
         "embedding_quantize": _EMB_QUANT_SQL,
+        "skew_profile": _SKEW_SQL,
     }

@@ -229,6 +229,10 @@ class ProgressListener:
                         "batch_id": p.batchId,
                         "num_input_rows": p.numInputRows,
                         "processed_rows_per_sec": p.processedRowsPerSecond,
+                        # per-phase wall times (triggerExecution = the whole
+                        # batch) — the basis for steady-state throughput
+                        # measurements that exclude startup/drain fixed cost
+                        "duration_ms": dict(getattr(p, "durationMs", {}) or {}),
                         "state_operators": len(p.stateOperators),
                         # per-operator state detail: the runtime evidence for
                         # state-size claims (e.g. the slim pre-join projection
