@@ -94,6 +94,11 @@ def test_streaming_matches_batch(spark, tmp_path, turns_dir):
     # engine progress captured by the listener, with per-operator state
     # detail (the runtime evidence for state-footprint claims)
     assert len(result.listener.progress) >= 1
+    # per-batch phase wall times (steady-state throughput measurements
+    # depend on triggerExecution being present)
+    assert all(
+        "triggerExecution" in p["duration_ms"] for p in result.listener.progress
+    ), result.listener.progress[:2]
     summary = result.listener.state_summary()
     assert summary, result.listener.progress[:2]
     assert all(v["batches"] >= 1 for v in summary.values())
