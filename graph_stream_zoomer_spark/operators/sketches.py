@@ -87,6 +87,8 @@ def kmv_distinct(
 
     Returns one row per group: ``group_cols… , est_distinct: bigint``.
     """
+    if k < 2:
+        raise ValueError(f"kmv_distinct needs k >= 2 (estimator is (k-1)/U_(k)); got {k}")
     g = list(group_cols or [])
     # NULL keys hash to NULL, which Spark windows sort FIRST and SQL engines
     # sort LAST — and COUNT(DISTINCT) ignores NULL anyway: drop them.
@@ -141,6 +143,8 @@ def cms_sketch(
     data merge by summing counters — windowed / streaming-incremental by
     construction.
     """
+    if width < 1 or depth < 1:
+        raise ValueError(f"cms_sketch needs width,depth >= 1; got {width}x{depth}")
     c = F.col(col)
     buckets = F.array(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(width)) for r in range(depth)]
@@ -219,6 +223,10 @@ def bloom_bits(
     Bitmaps of disjoint inputs merge by word-wise ``bit_or`` (idempotent —
     re-delivered rows are harmless, so streaming twins need no dedup).
     """
+    if num_bits < 1 or num_hashes < 1:
+        raise ValueError(
+            f"bloom needs num_bits,num_hashes >= 1; got {num_bits}/{num_hashes}"
+        )
     c = F.col(col)
     positions = F.array(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(num_bits)) for r in range(num_hashes)]

@@ -33,6 +33,8 @@ def skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 10) -> DataFra
 
     Plan: groupBy keys (1 exchange, partial agg), 1-row totals broadcast,
     TakeOrderedAndProject for the top_k — no global sort."""
+    if not key_cols:
+        raise ValueError("skew_profile needs at least one key column")
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols]).alias("key")
     counts = df.select(key).groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     totals = counts.agg(

@@ -88,6 +88,15 @@ def test_kmv_dense_rank_single_exchange(events):
     assert st.num_exchanges == 1, st.text[:3000]
 
 
+def test_parameter_guards(events):
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(events, "user_id", k=1)
+    with pytest.raises(ValueError, match="width,depth"):
+        cms_sketch(events, "user_id", width=0)
+    with pytest.raises(ValueError, match="num_bits,num_hashes"):
+        bloom_bits(events, "user_id", num_bits=0)
+
+
 # ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------
