@@ -3039,6 +3039,31 @@ HAVING bool_and((COALESCE(w.bits, 0) & pb.bit) <> 0)
 """
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table per event_type (operators/sketches.py):
+    bucket = top 8 hash bits, max_rho via binary-string length — all
+    integer, so the sketch itself is hash-exact cross-engine. The
+    float estimate (hll_estimate) is pytest accuracy-pinned instead."""
+    from graph_stream_zoomer_spark.operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "user_id", b=8, group_cols=["event_type"], reproducible=True)
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_type,
+       hh // 16777216 AS bucket,
+       MAX(CASE WHEN hh % 16777216 = 0 THEN 25
+                ELSE 24 - length(bin(hh % 16777216)) + 1 END) AS max_rho
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics (operators/skew.py): top heavy keys with ppm
     fixed-point share/skew figures — the pre-pass that decides
@@ -3201,6 +3226,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBy-count + rank machinery proven by graph_group_top_transitions;
         # the ppm figures are plain integer projections
         "skew_profile": q_skew_profile,
+        # hash machinery proven by the kmv/cms/bloom gate rows; the register
+        # table is one groupBy-max (minmax machinery)
+        "hll_registers": q_hll_registers,
     }
 
 
@@ -3287,4 +3315,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _PQ_ADC_SQL,
         "embedding_quantize": _EMB_QUANT_SQL,
         "skew_profile": _SKEW_SQL,
+        "hll_registers": _HLL_SQL,
     }

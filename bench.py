@@ -241,6 +241,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     from graph_stream_zoomer_spark.operators.sketches import (
         bloom_semi_join,
         cms_heavy_hitters,
+        hll_estimate,
+        hll_registers,
         kmv_distinct,
     )
 
@@ -248,6 +250,14 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     run(
         "kmv_distinct_fast",
         lambda: kmv_distinct(ev, "user_id", k=64, group_cols=["event_type"]).count(),
+    )
+    run(
+        "hll_estimate_fast",
+        lambda: hll_estimate(
+            hll_registers(ev, "user_id", b=8, group_cols=["event_type"]),
+            b=8,
+            group_cols=["event_type"],
+        ).count(),
     )
     run(
         "cms_heavy_hitters_fast",

@@ -124,6 +124,91 @@ def kmv_distinct(
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — register table + estimate
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    b: int = 8,
+    group_cols: list[str] | None = None,
+    reproducible: bool = False,
+) -> DataFrame:
+    """HyperLogLog register table: one row per (group, bucket) with the
+    max leading-zero rank (rho) observed — m = 2^b registers, bucket = the
+    hash's top ``b`` bits, rho = leading zeros of the remaining 32-b bits
+    + 1. ONE map-side-combined groupBy(max); registers merge by MAX, which
+    is idempotent — replayed/windowed merges are harmless, same contract
+    as the bloom bitmap. Unseen buckets are implicit zeros (hll_estimate
+    accounts for them).
+
+    Everything is integer arithmetic — rho comes from the BINARY-STRING
+    length of the remainder (``length(bin(w))``, exact in Spark and
+    DuckDB alike), never float log2, whose edge-of-ulp behavior at exact
+    powers of two differs across engines."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll needs 4 <= b <= 16; got {b}")
+    g = list(group_cols or [])
+    rem_bits = 32 - b
+    h = _hash32(F.col(col), 0, reproducible)
+    bucket = F.expr(f"div(_h, {1 << rem_bits}L)")
+    w = F.col("_h") % (1 << rem_bits)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - F.length(F.bin(w)) + 1
+    )
+    hashed = df.where(F.col(col).isNotNull()).select(*g, h.alias("_h"))
+    return (
+        hashed.select(*g, bucket.cast("long").alias("bucket"), rho.alias("_rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("_rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, b: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from an hll_registers table, with the
+    standard corrections: raw = alpha_m·m²/Σ2^(-rho) (unseen registers
+    count as rho=0), linear counting below 2.5·m, and the 32-bit
+    large-range correction. The raw-path arithmetic is integer-exact
+    (Σ2^(-rho) carried as the integer Σ2^(Rmax-rho), alpha as a ppm
+    literal); the correction branches use ln() and are pinned by accuracy
+    tests rather than a SQL oracle."""
+    g = list(group_cols or [])
+    m = 1 << b
+    rmax = 32 - b + 1
+    alpha = (
+        0.7213 / (1 + 1.079 / m)
+        if m >= 128
+        else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    )
+    alpha_ppm = round(alpha * 1_000_000)
+    agg = registers.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_seen"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {rmax} - cast(max_rho as int))")
+        ).alias("_s_seen"),
+    )
+    zeros = F.lit(m) - F.col("_seen")  # unseen registers, rho = 0
+    s_total = F.col("_s_seen") + zeros * (1 << rmax)
+    raw = (
+        F.lit(alpha_ppm * m * m)
+        * F.lit(1 << rmax)
+        / (s_total * F.lit(1_000_000))
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    two32 = float(1 << 32)
+    large = -F.lit(two32) * F.log(F.lit(1.0) - raw / F.lit(two32))
+    est = (
+        F.when((raw <= 2.5 * m) & (zeros > 0), lc)
+        .when(raw > two32 / 30.0, large)
+        .otherwise(raw)
+    )
+    return agg.select(*g, est.cast("double").alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: frequency estimation + heavy hitters
 # ---------------------------------------------------------------------------
 

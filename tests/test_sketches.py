@@ -14,6 +14,8 @@ from graph_stream_zoomer_spark.operators.sketches import (
     cms_heavy_hitters,
     cms_lookup,
     cms_sketch,
+    hll_estimate,
+    hll_registers,
     kmv_distinct,
 )
 from graph_stream_zoomer_spark.plans.inspect import plan_stats
@@ -95,6 +97,58 @@ def test_parameter_guards(events):
         cms_sketch(events, "user_id", width=0)
     with pytest.raises(ValueError, match="num_bits,num_hashes"):
         bloom_bits(events, "user_id", num_bits=0)
+    with pytest.raises(ValueError, match="4 <= b <= 16"):
+        hll_registers(events, "user_id", b=2)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_hll_linear_counting_branch(events, reproducible):
+    """150 distinct users << 2.5·m at b=8 → the linear-counting branch,
+    well inside its accuracy envelope."""
+    regs = hll_registers(events, "user_id", b=8, group_cols=["event_type"],
+                         reproducible=reproducible)
+    got = hll_estimate(regs, b=8, group_cols=["event_type"]).collect()
+    assert len(got) == 5
+    for r in got:
+        assert abs(r.est_distinct - 150) / 150 < 0.15, got
+
+
+@pytest.mark.parametrize("reproducible", [False, True])
+def test_hll_raw_branch(events, reproducible):
+    """10,000 distinct event_ids > 2.5·m → the raw alpha·m²/ΣZ branch;
+    standard error 1.04/sqrt(256) ≈ 6.5%, allow 3σ."""
+    regs = hll_registers(events, "event_id", b=8, reproducible=reproducible)
+    (row,) = hll_estimate(regs, b=8).collect()
+    assert abs(row.est_distinct - 10000) / 10000 < 0.20, row
+
+
+def test_hll_registers_merge_by_max(events):
+    """Registers of two disjoint halves merge by per-bucket MAX into
+    exactly the whole corpus's registers (idempotent — the streaming /
+    windowed-rollup contract, same as the bloom bitmap's bit_or)."""
+    from pyspark.sql import functions as F
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    bhalf = events.where(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(a, "user_id", b=8)
+        .unionAll(hll_registers(bhalf, "user_id", b=8))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(events, "user_id", b=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_registers_single_exchange(events):
+    st = plan_stats(hll_registers(events, "user_id", b=8, group_cols=["event_type"]))
+    assert st.num_exchanges == 1, st.text[:3000]
+    assert "EvalPython" not in st.text
 
 
 # ---------------------------------------------------------------------------
