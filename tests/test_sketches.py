@@ -170,6 +170,16 @@ def test_cms_never_underestimates(events, reproducible):
     assert all(r.est_count >= r.c for r in rows)
 
 
+def test_cms_lookup_absent_items_estimate_zero(events, spark):
+    """Items never inserted hit empty buckets at a wide sketch: the left
+    join's coalesce-0 path must yield est 0, not drop the row."""
+    sketch = cms_sketch(events, "user_id", width=4096, depth=4)
+    absent = spark.range(1_000_000, 1_000_005).withColumnRenamed("id", "user_id")
+    rows = cms_lookup(sketch, absent, "user_id", width=4096, depth=4).collect()
+    assert len(rows) == 5
+    assert all(r.est_count == 0 for r in rows), rows
+
+
 def test_cms_exact_when_wide(events):
     """At width >> n_distinct * depth the min over rows sheds all
     collisions: heavy hitters == exact heavy hitters with exact counts."""
