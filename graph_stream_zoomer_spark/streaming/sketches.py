@@ -48,6 +48,32 @@ def windowed_cms(
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def windowed_hll(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "10 minutes",
+    b: int = 8,
+    watermark_delay: str = "10 minutes",
+    reproducible: bool = False,
+) -> DataFrame:
+    """Per-window HyperLogLog registers as (window, bucket, max_rho) —
+    windowed distinct-count summaries with ≤ 2^b state rows per open
+    window. MAX-merge is idempotent (replays harmless); feeding the rows
+    to ``operators.sketches.hll_estimate`` (grouped by window) yields the
+    per-window distinct estimate; MAX-merging adjacent windows' registers
+    rolls them up to coarser grains."""
+    from graph_stream_zoomer_spark.operators.sketches import hll_registers
+
+    # hll_registers is a plain projection + groupBy-max: pass the window
+    # column through as the group key and it is streaming-legal as-is
+    wm = stream.withWatermark(ts_col, watermark_delay).select(
+        F.window(ts_col, window_duration).alias("window"), F.col(value_col)
+    )
+    return hll_registers(wm, value_col, b=b, group_cols=["window"],
+                         reproducible=reproducible)
+
+
 def windowed_bloom(
     stream: DataFrame,
     ts_col: str,

@@ -7,8 +7,16 @@ import time
 
 from pyspark.sql import functions as F
 
-from graph_stream_zoomer_spark.operators.sketches import bloom_bits, cms_sketch
-from graph_stream_zoomer_spark.streaming.sketches import windowed_bloom, windowed_cms
+from graph_stream_zoomer_spark.operators.sketches import (
+    bloom_bits,
+    cms_sketch,
+    hll_registers,
+)
+from graph_stream_zoomer_spark.streaming.sketches import (
+    windowed_bloom,
+    windowed_cms,
+    windowed_hll,
+)
 
 EV_DDL = "user_id bigint, ts timestamp"
 
@@ -86,6 +94,17 @@ def test_windowed_cms_matches_batch_per_window(spark, tmp_path):
     # cross-batch merge actually happened: user 1 appears 3x in window 1
     # (2 rows in chunk1 + 1 in chunk2) — some counter must be ≥ 3
     assert got.agg(F.max("cnt")).first()[0] >= 3
+
+
+def test_windowed_hll_matches_batch_per_window(spark, tmp_path):
+    got = _run(
+        spark,
+        tmp_path,
+        lambda s: windowed_hll(s, "ts", "user_id", b=8),
+    )
+    exp = _batch_per_window(spark, hll_registers, b=8)
+    key = lambda r: (str(r["window_start"]), r["bucket"], r["max_rho"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
 
 
 def test_windowed_bloom_matches_batch_per_window(spark, tmp_path):
