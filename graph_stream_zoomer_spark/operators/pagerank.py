@@ -61,10 +61,16 @@ def pagerank_exact(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
+    # verts is referenced every round (the left join that re-adds
+    # zero-in-degree vertices) — materialize it ONCE so the union+distinct
+    # over the edge list isn't re-executed per iteration; together with the
+    # eager per-round ranks checkpoint below this keeps each round's jobs
+    # (the redistribute d_sum collect included) O(1) in lineage depth.
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()
     if n == 0:

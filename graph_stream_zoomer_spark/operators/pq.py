@@ -450,6 +450,8 @@ def residual_frame(
     ``use_arrow_assign=None`` auto-selects: the Catalyst-literal fold under
     _LITERAL_CELL_BUDGET total floats (oracle-exact), the Arrow closure
     twin above it (flat driver compile at production quantizer sizes)."""
+    if not coarse:
+        raise ValueError("coarse must be non-empty")
     if use_arrow_assign is None:
         use_arrow_assign = len(coarse) * len(coarse[0][1]) > _LITERAL_CELL_BUDGET
     if use_arrow_assign:
@@ -562,6 +564,8 @@ def ivfpq_topk(
     (x − centroid[cell]); codebooks are md5-sampled from RESIDUAL space
     and each query builds one LUT per probed cell — n_probe× the LUT
     work for finer distances (recall win pinned in tests/test_pq.py)."""
+    if not coarse:
+        raise ValueError("coarse must be non-empty")
     dim = len(coarse[0][1])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if use_arrow_assign is None:

@@ -171,10 +171,13 @@ def hll_estimate(
     """Distinct-count estimate from an hll_registers table, with the
     standard corrections: raw = alpha_m·m²/Σ2^(-rho) (unseen registers
     count as rho=0), linear counting below 2.5·m, and the 32-bit
-    large-range correction. The raw-path arithmetic is integer-exact
-    (Σ2^(-rho) carried as the integer Σ2^(Rmax-rho), alpha as a ppm
-    literal); the correction branches use ln() and are pinned by accuracy
-    tests rather than a SQL oracle."""
+    large-range correction. Σ2^(-rho) is carried as the integer
+    Σ2^(Rmax-rho) (exact: ≤ m·2^Rmax ≤ 2^33 fits long for every b); the
+    constant numerator alpha_ppm·m²·2^Rmax is folded to ONE double literal
+    on the driver — for b ≥ 11 it exceeds 2^63, so carrying it in BIGINT
+    would silently wrap under Spark's non-ANSI arithmetic and corrupt both
+    the estimate and the correction-branch comparisons. The estimate is a
+    float either way (pinned by accuracy tests, not a SQL oracle)."""
     g = list(group_cols or [])
     m = 1 << b
     rmax = 32 - b + 1
@@ -192,11 +195,11 @@ def hll_estimate(
     )
     zeros = F.lit(m) - F.col("_seen")  # unseen registers, rho = 0
     s_total = F.col("_s_seen") + zeros * (1 << rmax)
-    raw = (
-        F.lit(alpha_ppm * m * m)
-        * F.lit(1 << rmax)
-        / (s_total * F.lit(1_000_000))
-    )
+    # numerator folded driver-side in exact Python int arithmetic, then
+    # rounded ONCE to double (it exceeds int64 for b >= 11); the division
+    # denominator s_total stays integer-exact in long
+    num = float(alpha_ppm * m * m * (1 << rmax)) / 1_000_000.0
+    raw = F.lit(num) / s_total.cast("double")
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     two32 = float(1 << 32)
     large = -F.lit(two32) * F.log(F.lit(1.0) - raw / F.lit(two32))

@@ -41,12 +41,28 @@ def skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 10) -> DataFra
         F.count(F.lit(1)).alias("_n_keys"), F.sum("cnt").alias("_n_rows")
     )
     joined = counts.crossJoin(F.broadcast(totals))
+    # ppm numerators in DECIMAL(38,0): cnt*n_keys*1e6 exceeds 2^63 once
+    # cnt·n_keys passes ~9.2e12 (10M distinct keys × a 1M-row hot key —
+    # squarely in the 100 TB regime), and BIGINT would wrap negative under
+    # non-ANSI arithmetic. DECIMAL keeps the figure exact (matching the
+    # DuckDB oracle's HUGEINT arithmetic) up to 38 digits. Spark decimal
+    # division HALF_UP-rounds the quotient at the derived scale, which can
+    # misround a floor for n_rows > ~2e6 — so the remainder is subtracted
+    # first, making the division exactly integral.
+    def _floordiv_ppm(numerator_sql: str) -> F.Column:
+        return F.expr(
+            f"cast((({numerator_sql}) - pmod({numerator_sql}, _n_rows))"
+            " / _n_rows as bigint)"
+        )
+
     ranked = joined.select(
         "key",
         "cnt",
-        F.expr(f"div(cnt * {_PPM}, _n_rows)").alias("share_ppm"),
+        _floordiv_ppm(f"cast(cnt as decimal(38,0)) * {_PPM}").alias("share_ppm"),
         # cnt / (rows/keys) = cnt*keys/rows, in ppm
-        F.expr(f"div(cnt * _n_keys * {_PPM}, _n_rows)").alias("skew_ppm"),
+        _floordiv_ppm(f"cast(cnt as decimal(38,0)) * _n_keys * {_PPM}").alias(
+            "skew_ppm"
+        ),
     )
     # TakeOrdered first (no global sort over all keys); the rank window then
     # runs over only top_k already-collected-scale rows

@@ -40,8 +40,13 @@ def windowed_cms(
     buckets = F.array(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(width)) for r in range(depth)]
     )
-    pairs = stream.withWatermark(ts_col, watermark_delay).select(
-        F.col(ts_col), F.posexplode(buckets).alias("row_idx", "bucket")
+    # NULL values are skipped exactly like the batch twin (cms_sketch):
+    # without the filter, xxhash64 mode would count NULL as one phantom
+    # heavy value and md5 mode would emit bucket=NULL rows
+    pairs = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .where(c.isNotNull())
+        .select(F.col(ts_col), F.posexplode(buckets).alias("row_idx", "bucket"))
     )
     return pairs.groupBy(
         F.window(ts_col, window_duration).alias("window"), "row_idx", "bucket"
@@ -93,8 +98,12 @@ def windowed_bloom(
     positions = F.array(
         *[F.pmod(_hash32(c, r, reproducible), F.lit(num_bits)) for r in range(num_hashes)]
     )
-    exploded = stream.withWatermark(ts_col, watermark_delay).select(
-        F.col(ts_col), F.explode(positions).alias("pos")
+    # NULL values skipped like the batch twin (bloom_bits): a NULL word
+    # key would crash map_from_entries in downstream bitmap builds
+    exploded = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .where(c.isNotNull())
+        .select(F.col(ts_col), F.explode(positions).alias("pos"))
     )
     word, bit = _word_and_bit(F.col("pos"))
     pairs = exploded.select(

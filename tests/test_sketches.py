@@ -127,6 +127,21 @@ def test_hll_raw_branch(events, reproducible):
     assert abs(row.est_distinct - 10000) / 10000 < 0.20, row
 
 
+@pytest.mark.parametrize("b,n", [(14, 60_000), (16, 200_000)])
+def test_hll_raw_branch_large_b_no_overflow(spark, b, n):
+    """b >= 11 regression: the raw-branch numerator alpha·m²·2^Rmax exceeds
+    2^63 (b=16 needs ~4.1e20) — carried in BIGINT it silently wrapped
+    negative under non-ANSI arithmetic, corrupting the estimate and the
+    correction-branch comparisons. Now folded to a double literal: the
+    estimate must land within the standard-error envelope (1.04/sqrt(m)
+    < 1%; allow 5%)."""
+    df = spark.range(n).select(F.col("id").alias("user_id"))
+    regs = hll_registers(df, "user_id", b=b)
+    (row,) = hll_estimate(regs, b=b).collect()
+    assert row.est_distinct > 0, row
+    assert abs(row.est_distinct - n) / n < 0.05, row
+
+
 def test_hll_registers_merge_by_max(events):
     """Registers of two disjoint halves merge by per-bucket MAX into
     exactly the whole corpus's registers (idempotent — the streaming /

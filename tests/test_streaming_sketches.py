@@ -21,16 +21,21 @@ from graph_stream_zoomer_spark.streaming.sketches import (
 EV_DDL = "user_id bigint, ts timestamp"
 
 # two 10-minute windows, rows split across micro-batches MID-window so the
-# state store must merge partial sketches across batches
+# state store must merge partial sketches across batches. NULL values ride
+# along in both chunks: the streaming twins must skip them exactly like the
+# batch operators (a NULL would otherwise hash to a phantom bucket in
+# xxhash64 mode or emit NULL-key rows in md5 mode).
 CHUNK1 = [
     (1, "2024-01-01 10:00:00"),
     (2, "2024-01-01 10:01:00"),
+    (None, "2024-01-01 10:01:30"),
     (1, "2024-01-01 10:02:00"),
     (3, "2024-01-01 10:11:00"),
 ]
 CHUNK2 = [
     (1, "2024-01-01 10:03:00"),  # same window as chunk1's first rows
     (4, "2024-01-01 10:12:00"),
+    (None, "2024-01-01 10:12:30"),
     (3, "2024-01-01 10:13:00"),
 ]
 SENTINEL = [(99, "2030-01-01 00:00:00")]  # advances the watermark → closes windows
