@@ -332,6 +332,26 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     run("pq_encode_arrow", _pq_encode_arrow)
 
+    def _ivfpq_batch_1k():
+        # batch query side: 1,000 queries as a DataFrame — probe cells +
+        # ADC LUTs built in one Arrow mapInPandas pass (zero driver loop,
+        # zero createDataFrame of literal LUT rows). The r4 driver-list
+        # form was O(n_queries) driver Python; this cell pins that the
+        # DataFrame form's wall time stays flat at 10³ queries (and the
+        # mechanism is flat at 10⁶).
+        from graph_stream_zoomer_spark.operators.pq import (
+            ivfpq_topk,
+            sample_coarse_centroids,
+            sample_pq_codebooks,
+        )
+
+        coarse = sample_coarse_centroids(emb, n_centroids=64)  # Arrow assign
+        books = sample_pq_codebooks(emb, 64, k=16)
+        qdf = emb.where(F.col("vec_id") < 1000)
+        return ivfpq_topk(emb, qdf, coarse, books, k=10, n_probe=4).count()
+
+    run("ivfpq_batch_1k_queries", _ivfpq_batch_1k)
+
     extras["queries_cold"] = cold
     extras["warm_trials"] = n_warm
     return timings, extras

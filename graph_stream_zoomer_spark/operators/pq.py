@@ -531,9 +531,78 @@ def _fast_cell_udf(coarse: list[tuple[int, list[float]]]):
 _LITERAL_CELL_BUDGET = 2048
 
 
+def _batch_probe_frame(
+    queries: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    n_probe: int,
+    by_residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, cell, lut) probe frame built INSIDE an Arrow mapInPandas
+    pass over a queries DataFrame — the batch-scale twin of ivfpq_topk's
+    driver loop (which is O(n_queries × n_probe × m × k) Python on the
+    driver plus a createDataFrame of literal LUT rows: right for ≤10³
+    interactive queries, wrong for a 10⁶-query re-ranking job). The
+    coarse/codebook model rides the UDF closure; driver work and plan size
+    stay flat in n_queries.
+
+    BIT-IDENTICAL to the driver loop: every accumulation runs sequentially
+    over the dim/subspace terms (vectorized across rows only), matching
+    ``acc = acc + t*t`` order, and cell ranking applies the same half-up
+    round-8 + ascending-cid tie (_nearest_cell_py). So list-path and
+    DataFrame-path results hash-match exactly (pinned in tests/test_pq.py).
+    """
+    import numpy as np
+
+    dim = len(coarse[0][1])
+    cids = np.array([cid for cid, _ in coarse], dtype=np.int64)
+    C = np.array([cv for _, cv in coarse], dtype=np.float64)  # [n_cent, dim]
+    subs = _split_dims(dim, len(codebooks))
+    books = [
+        np.array([comps for _, comps in cb], dtype=np.float64) for cb in codebooks
+    ]  # per subspace: [k, d]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_c, out_l = [], [], []
+            for qid, qv in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(list(qv), dtype=np.float64)
+                # sequential-over-dim L2² to each centroid (driver order)
+                acc = np.zeros(len(C), dtype=np.float64)
+                for i in range(dim):
+                    t = v[i] - C[:, i]
+                    acc = acc + t * t
+                cd = np.floor(acc * 1e8 + 0.5) / 1e8  # _half_up8
+                order = np.lexsort((cids, cd))[:n_probe]
+                for ci in order:
+                    base = v - C[ci] if by_residual else v
+                    lut = np.empty(0, dtype=np.float64)
+                    for s, (lo, d) in enumerate(subs):
+                        B = books[s]  # [k, d]
+                        a = np.zeros(len(B), dtype=np.float64)
+                        for i in range(d):
+                            t = base[lo + i] - B[:, i]
+                            a = a + t * t
+                        lut = np.concatenate([lut, a])
+                    out_q.append(int(qid))
+                    out_c.append(int(cids[ci]))
+                    out_l.append(list(lut))
+            yield pd.DataFrame(
+                {"query_id": out_q, "cell": out_c, "lut": out_l}
+            )
+
+    return queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "query_id bigint, cell int, lut array<double>"
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
-    queries: list[tuple[int, list[float]]],
+    queries: DataFrame | list[tuple[int, list[float]]],
     coarse: list[tuple[int, list[float]]],
     codebooks: Codebooks | None = None,
     k: int = 10,
@@ -552,8 +621,11 @@ def ivfpq_topk(
     shuffle, centroid literals), each query probes its ``n_probe``
     nearest cells (driver-side exact arithmetic over the tiny coarse
     model), and only candidates in probed cells get the ADC distance.
-    The probe set arrives as a broadcast (query_id, cell) frame, so
-    candidate selection is a broadcast semi-restriction — at 100 TB the
+    ``queries`` is either a small driver list (interactive path: LUTs
+    built in a driver loop, probe frame broadcast) or a DataFrame with
+    (id_col, vec_col) columns (batch path: LUTs built inside an Arrow
+    mapInPandas pass, bit-identical to the driver loop, flat driver time
+    at 10⁶ queries — the probe/cell join is left to AQE). At 100 TB the
     corpus side can additionally be PARTITIONED/bucketed by cell so a
     probe touches n_probe/n_centroids of the data.
 
@@ -649,29 +721,41 @@ def ivfpq_topk(
         )
 
     m, kk = len(codebooks), len(codebooks[0])
-    cent_by_id = dict(coarse)
-    probe_rows = []
-    for qid, qv in queries:
-        for _, cid in _nearest_cell_py(qv, coarse)[:n_probe]:
-            base = (
-                [a - b for a, b in zip(qv, cent_by_id[cid])] if by_residual else qv
-            )
-            lut: list[float] = []
-            for s, (lo, d) in enumerate(_split_dims(dim, m)):
-                for _, comps in codebooks[s]:
-                    acc = 0.0
-                    for i in range(d):
-                        t = float(base[lo + i]) - float(comps[i])
-                        acc = acc + t * t
-                    lut.append(acc)
-            probe_rows.append((qid, cid, lut))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id bigint, cell int, lut array<double>"
-    )
-    cand = (
-        cells.join(F.broadcast(probes), "cell")
-        .join(enc, "neighbor_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+    if isinstance(queries, DataFrame):
+        # batch query side: LUTs built in an Arrow pass over the queries
+        # frame (bit-identical to the driver loop below — see
+        # _batch_probe_frame); no broadcast hint — the probe side is
+        # n_queries×n_probe LUT rows, potentially huge, so the cell join is
+        # left to AQE (broadcast when small, shuffle otherwise; at
+        # production scale bucket/partition the corpus by cell so a probe
+        # touches n_probe/n_centroids of the data)
+        probes = _batch_probe_frame(
+            queries, coarse, codebooks, n_probe, by_residual, id_col, vec_col
+        )
+        probed = cells.join(probes, "cell")
+    else:
+        cent_by_id = dict(coarse)
+        probe_rows = []
+        for qid, qv in queries:
+            for _, cid in _nearest_cell_py(qv, coarse)[:n_probe]:
+                base = (
+                    [a - b for a, b in zip(qv, cent_by_id[cid])] if by_residual else qv
+                )
+                lut: list[float] = []
+                for s, (lo, d) in enumerate(_split_dims(dim, m)):
+                    for _, comps in codebooks[s]:
+                        acc = 0.0
+                        for i in range(d):
+                            t = float(base[lo + i]) - float(comps[i])
+                            acc = acc + t * t
+                        lut.append(acc)
+                probe_rows.append((qid, cid, lut))
+        probes = spark.createDataFrame(
+            probe_rows, "query_id bigint, cell int, lut array<double>"
+        )
+        probed = cells.join(F.broadcast(probes), "cell")
+    cand = probed.join(enc, "neighbor_id").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -46,13 +46,29 @@ class SinkMetrics:
 
 
 class IdempotentParquetSink:
-    """foreachBatch sink with batchId-transactional parquet commits."""
+    """foreachBatch sink with batchId-transactional parquet commits.
+
+    LOCAL-FILESYSTEM SANDBOX SINK: the commit log, rename-commit, and
+    parquet-footer lineage all use POSIX paths (os.listdir / os.replace /
+    local pyarrow reads), which is correct only when the sink root is a
+    local directory visible to the driver. On a real cluster the sink root
+    is object storage — use ``IcebergMergeSink`` there (the production
+    path; identical exactly-once contract). A non-local root raises
+    immediately rather than failing mid-stream."""
 
     def __init__(self, root: str, key_cols: list[str] | None = None, transform=None) -> None:
         """``transform``: optional DataFrame→DataFrame applied to each batch
         before commit — used for the salted final merge (merge_partials)."""
+        scheme = root.split("://", 1)[0] if "://" in root else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"IdempotentParquetSink needs a local filesystem root "
+                f"(got scheme {scheme!r}): its commit log and footer-derived "
+                f"lineage are POSIX-path based. Use IcebergMergeSink for "
+                f"object-store deployments."
+            )
         self.transform = transform
-        self.root = root
+        self.root = root.removeprefix("file://")
         self.data_dir = os.path.join(root, "data")
         self.lineage_dir = os.path.join(root, "_lineage")
         self.commits_path = os.path.join(self.lineage_dir, "commits.json")

@@ -220,8 +220,8 @@ def test_driver_registry_contract():
     """The driver gates the first 50 queries() keys (r03 proved the window
     empirically). Contract: exactly 50 keys, oracle for every key, same
     iteration order in queries() and oracle_sql(), extra_queries() disjoint
-    with its own full oracle cover, and the keys the r03 artifact did not
-    reach come first so even a smaller window proves them."""
+    with its own full oracle cover, and the keys without a prior driver
+    record come first so even a smaller window proves them."""
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
@@ -230,13 +230,10 @@ def test_driver_registry_contract():
     assert list(q) == list(o)
     assert set(xq) == set(xo)
     assert not set(q) & set(xq)
-    r03_unproven = {
-        "ann_ivf_topk", "kmeans_centroids", "embedding_stats", "text_stats",
-        "text_langid", "text_fingerprint", "pack_sequences", "bpe_merges",
-        "bpe_token_counts", "doc_chunks", "text_split_counts", "doc_sample",
-        "media_digests", "conv_rollup", "interval_join_first5m", "pii_redact",
-        "doc_mix_sample", "sessionize", "quality_filter", "ann_ivfpq_residual",
-        # new in r04 — the sketches family
-        "kmv_distinct", "cms_heavy_hitters", "bloom_semi_join",
+    # r05 rotation: the 2 keys with no driver record in any round + the 2
+    # keys new this round lead the window
+    r05_unproven = {
+        "hll_registers", "skew_profile",
+        "graph_group_salted_props", "ann_ivfpq_batch_queries",
     }
-    assert set(list(q)[: len(r03_unproven)]) == r03_unproven
+    assert set(list(q)[: len(r05_unproven)]) == r05_unproven

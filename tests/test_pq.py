@@ -309,3 +309,48 @@ def test_ivfpq_residual_single_assignment_pass(spark):
     n_arrow = plan.count("ArrowEvalPython")
     assert n_arrow <= 2, f"expected cell-assign + encode only, got {n_arrow} ArrowEvalPython nodes"
     assert df.count() > 0
+
+
+def test_ivfpq_dataframe_queries_match_list_path(spark):
+    """Batch query side: passing queries as a DataFrame (LUTs built in an
+    Arrow mapInPandas pass) must produce BIT-IDENTICAL top-k to the
+    driver-list path — the probe UDF replays the driver loop's sequential
+    accumulation order exactly. Both non-residual and residual modes."""
+    from pyspark.sql import functions as F
+
+    from graph_stream_zoomer_spark.operators.pq import (
+        ivfpq_topk,
+        sample_coarse_centroids,
+        sample_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    emb.count()
+    coarse = sample_coarse_centroids(emb)
+    books = sample_pq_codebooks(emb, 64)
+    qdf = emb.where(F.col("vec_id") < 8)
+    qlist = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qdf.collect()
+    ]
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+    for by_res in (False, True):
+        kw = dict(k=5, n_probe=4, by_residual=by_res)
+        if not by_res:
+            kw["codebooks"] = books
+        lst = rows(ivfpq_topk(emb, qlist, coarse, **kw))
+        bat = rows(ivfpq_topk(emb, qdf, coarse, **kw))
+        assert lst == bat and lst, f"by_residual={by_res}"
+    emb.unpersist()
+
+
+def test_ivfpq_empty_coarse_raises(spark):
+    from graph_stream_zoomer_spark.operators.pq import ivfpq_topk, residual_frame
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with pytest.raises(ValueError, match="coarse must be non-empty"):
+        ivfpq_topk(emb, [], [], k=3)
+    with pytest.raises(ValueError, match="coarse must be non-empty"):
+        residual_frame(emb, [])

@@ -68,3 +68,20 @@ def test_interval_grammar_batch_streaming_parity():
     for bad in ["", "hour", "1 fortnight", "x hours", "1 hour 30"]:
         with pytest.raises(ValueError):
             _interval_us(bad)
+
+
+# ------------------------------------------------ local-FS envelope guard
+def test_parquet_sink_rejects_object_store_roots(tmp_path):
+    """IdempotentParquetSink is the LOCAL-FS sandbox sink: its commit log
+    and parquet-footer lineage are POSIX-path based. Object-store roots
+    must fail fast with a pointer to IcebergMergeSink, not mid-stream."""
+    from graph_stream_zoomer_spark.streaming.sink import IdempotentParquetSink
+
+    for root in ["s3://bucket/sink", "hdfs://nn/sink", "abfss://c@a/sink"]:
+        with pytest.raises(ValueError, match="IcebergMergeSink"):
+            IdempotentParquetSink(root)
+    # local paths fine, file:// scheme normalized
+    s = IdempotentParquetSink(str(tmp_path / "a"))
+    assert s.root == str(tmp_path / "a")
+    s2 = IdempotentParquetSink("file://" + str(tmp_path / "b"))
+    assert s2.root == str(tmp_path / "b")
