@@ -9,17 +9,40 @@ idempotent bit_or/count merge also makes update-mode re-emission safe for
 at-least-once sinks.
 
 State size is bounded by construction, independent of stream volume:
-≤ depth·width counters (CMS) or ≤ num_bits/32 words (bloom) per open
-window — the property that makes these the right summaries at 10^12-turn
-scale, where per-key exact state would be unbounded.
+≤ depth·width counters (CMS), ≤ num_bits/32 words (bloom), or ≤ k hash
+values (KMV) per open window — the property that makes these the right
+summaries at 10^12-turn scale, where per-key exact state would be
+unbounded.
+
+KMV is the one twin that is NOT a plain windowed aggregation: "k smallest
+distinct hashes" is an order statistic, which Spark's built-in streaming
+aggs cannot express (no streaming-legal window-rank). It uses a small
+``applyInPandasWithState`` keyed by the time window — the hash is still
+computed Catalyst-side, so Python only ever sees ≤ a micro-batch of bare
+int64 hashes per window and keeps the k smallest.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
-from graph_stream_zoomer_spark.operators.sketches import _hash32, _word_and_bit
+from graph_stream_zoomer_spark.operators.sketches import (
+    _HASH_SPACE,
+    _hash32,
+    _word_and_bit,
+)
 
 
 def windowed_cms(
@@ -112,3 +135,115 @@ def windowed_bloom(
     return pairs.groupBy(
         F.window(ts_col, window_duration).alias("window"), "word"
     ).agg(F.expr("bit_or(bit)").alias("bits"))
+
+
+_KMV_STATE_SCHEMA = StructType([StructField("kept", ArrayType(LongType()))])
+
+
+def windowed_kmv(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "10 minutes",
+    k: int = 64,
+    watermark_delay: str = "10 minutes",
+    reproducible: bool = False,
+) -> DataFrame:
+    """Per-window KMV distinct-count estimate as (window, est_distinct) —
+    each closed window's value equals the batch ``kmv_distinct`` of that
+    window's rows (integer-exact estimator, so parity is bit-for-bit).
+
+    Mechanics: the 32-bit hash is computed Catalyst-side (md5 or xxhash64,
+    same as batch), then one keyed-state exchange on the tumbling window.
+    State per open window is the sorted set of the ≤ k smallest DISTINCT
+    hashes — merged with each micro-batch's hashes, emitted once (append
+    semantics) when the watermark passes window end, with an event-time
+    timeout armed so idle windows still flush on no-data micro-batches.
+    Late rows for an already-closed window are dropped without
+    re-creating state (no duplicate emission on at-least-once replay).
+
+    Scale: state is O(k) per open window regardless of stream volume; the
+    exchange carries (window, hash) pairs — two int64s per row, the hash
+    replacing the value bytes. Python sees only the per-batch hash arrays
+    (Arrow-transferred), never the values.
+    """
+    if k < 2:
+        raise ValueError(f"windowed_kmv needs k >= 2 (estimator is (k-1)/U_(k)); got {k}")
+    c = F.col(value_col)
+    keyed = (
+        stream.withWatermark(ts_col, watermark_delay)
+        # NULL values skipped like the batch twin (kmv_distinct):
+        # COUNT(DISTINCT) ignores NULL
+        .where(c.isNotNull())
+        .select(
+            # group by the window STRUCT: it carries the watermark
+            # event-time metadata that the event-time timeout requires
+            # (flattening to start/end columns would strip it)
+            F.window(ts_col, window_duration).alias("window"),
+            _hash32(c, 0, reproducible).alias("_h"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("window_end", TimestampType()),
+            StructField("est_distinct", LongType()),
+        ]
+    )
+
+    def merge_kmv(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win = key[0]  # the window struct key: Row or mapping with start/end
+        win_start, win_end = (
+            (win["start"], win["end"]) if not hasattr(win, "start") else (win.start, win.end)
+        )
+        end_ms = pd.Timestamp(win_end).value // 1_000_000
+        wm_ms = state.getCurrentWatermarkMs()
+
+        kept = list(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            if not state.exists and wm_ms >= end_ms:
+                # late rows for a window that already closed and emitted:
+                # drop them instead of re-opening state (append semantics)
+                for _ in pdfs:
+                    pass
+                return
+            seen = set(kept)
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                seen.update(int(h) for h in pdf["_h"].to_numpy())
+            kept = sorted(seen)[:k]
+
+        if wm_ms >= end_ms:
+            n = len(kept)
+            est = n if n < k else ((k - 1) * _HASH_SPACE) // max(kept[k - 1], 1)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [pd.Timestamp(win_start)],
+                    "window_end": [pd.Timestamp(win_end)],
+                    "est_distinct": [est],
+                }
+            )
+        else:
+            state.update((kept,))
+            # flush when the watermark reaches window end, even if this
+            # window sees no further data (timeout must exceed current wm)
+            state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+
+    raw = keyed.groupBy("window").applyInPandasWithState(
+        merge_kmv,
+        out_schema,
+        _KMV_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        F.struct(
+            F.col("window_start").alias("start"), F.col("window_end").alias("end")
+        ).alias("window"),
+        "est_distinct",
+    )

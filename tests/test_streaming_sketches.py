@@ -11,11 +11,13 @@ from graph_stream_zoomer_spark.operators.sketches import (
     bloom_bits,
     cms_sketch,
     hll_registers,
+    kmv_distinct,
 )
 from graph_stream_zoomer_spark.streaming.sketches import (
     windowed_bloom,
     windowed_cms,
     windowed_hll,
+    windowed_kmv,
 )
 
 EV_DDL = "user_id bigint, ts timestamp"
@@ -109,6 +111,67 @@ def test_windowed_hll_matches_batch_per_window(spark, tmp_path):
     )
     exp = _batch_per_window(spark, hll_registers, b=8)
     key = lambda r: (str(r["window_start"]), r["bucket"], r["max_rho"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+
+
+def test_windowed_kmv_matches_batch_per_window(spark, tmp_path):
+    # k=2 < per-window distinct count, so the (k-1)*2^32 div kth branch of
+    # the estimator runs — parity with batch must be bit-for-bit, not just
+    # "both exact"
+    got = _run(spark, tmp_path, lambda s: windowed_kmv(s, "ts", "user_id", k=2))
+    exp = _batch_per_window(spark, kmv_distinct, k=2)
+    key = lambda r: (str(r["window_start"]), r["est_distinct"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+    # exactly one emission per closed window (append semantics)
+    assert got.count() == 2
+
+
+def test_windowed_kmv_exact_below_k(spark, tmp_path):
+    # k above each window's distinct count → the streaming estimate is the
+    # EXACT per-window COUNT(DISTINCT): {1,2} and {3,4}
+    got = _run(spark, tmp_path, lambda s: windowed_kmv(s, "ts", "user_id", k=64))
+    vals = sorted(r["est_distinct"] for r in got.collect())
+    assert vals == [2, 2]
+
+
+def test_windowed_kmv_checkpoint_resume(spark, tmp_path):
+    """State (the ≤k kept hashes) survives a stop/restart through the
+    checkpoint: chunk1 runs in query #1 (no window closes — watermark too
+    young), chunk2+sentinel arrive after a restart, and the final
+    per-window estimates still match the batch twin."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def start():
+        stream = (
+            spark.readStream.schema(EV_DDL).option("maxFilesPerTrigger", 1).parquet(inp)
+        )
+        return (
+            windowed_kmv(stream, "ts", "user_id", k=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _df(spark, CHUNK1).coalesce(1).write.mode("append").parquet(inp)
+    q = start()
+    q.awaitTermination(120)
+    _df(spark, CHUNK2).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    _df(spark, SENTINEL).coalesce(1).write.mode("append").parquet(inp)
+    q = start()
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("window.start") < "2029-01-01")
+        .withColumn("window_start", F.col("window.start"))
+        .drop("window")
+    )
+    exp = _batch_per_window(spark, kmv_distinct, k=2)
+    key = lambda r: (str(r["window_start"]), r["est_distinct"])
     assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
 
 
