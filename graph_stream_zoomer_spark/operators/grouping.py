@@ -366,7 +366,13 @@ class GraphStreamGrouping:
             cond = cond & enhanced[self._gk(i)].eqNullSafe(g[f"_g{i}"])
         if self.use_vertex_labels:
             cond = cond & enhanced["vertex_label"].eqNullSafe(g["_glabel"])
-        return enhanced.join(g, cond, "inner").select(
+        # the grouped (summary) side is small by construction — one row per
+        # (session window, group); broadcast it so the session path never
+        # shuffles the raw vertex stream against a tiny summary (the
+        # null-safe+containment condition would otherwise fall back to a
+        # shuffled BNLJ). Batch-only path: streaming sessions go through
+        # streaming/pipeline.py, so the hint never meets a streaming frame.
+        return enhanced.join(F.broadcast(g), cond, "inner").select(
             enhanced["vertex_id"], g["window"], g["super_vertex_id"]
         )
 

@@ -83,6 +83,25 @@ def test_grouping_stays_in_codegen(spark):
     assert "ArrowEvalPython" in plan_stats(out2.vertices).text
 
 
+def test_session_expand_join_broadcasts_summary_side(spark):
+    """Session-window J1: the raw-vertex × summary expand join must
+    broadcast the (small by construction) summary side — a BroadcastHash
+    join on the null-safe group keys, never a sort-merge shuffle of the
+    raw side and never a nested-loop fallback."""
+    cfg = StreamGraphConfig(window=WindowConfig.session(300, "SECONDS"))
+    t = generate_transcripts(spark, 200)
+    graph = transcript_graph(t, cfg, use_arrow=False)
+    op = _op(cfg)
+    # stage 6 in isolation (the full edge plan also holds the legitimate
+    # big×big raw-edge join; this pins the raw-vertex × summary join only)
+    enhanced_v = op.enhance_vertices(op.dedup_vertices(graph.vertices))
+    expanded = op.expand_vertices(enhanced_v, op.group_vertices(enhanced_v))
+    st = plan_stats(expanded)
+    assert st.num_broadcast_joins >= 1, st.text[:3000]
+    assert st.num_sortmerge_joins == 0, st.text[:3000]
+    assert "BroadcastNestedLoopJoin" not in st.text, st.text[:3000]
+
+
 def test_ann_broadcasts_query_side(spark):
     from graph_stream_zoomer_spark.operators.similarity import brute_force_topk
 
