@@ -387,7 +387,22 @@ def main() -> None:
     }
     compact.pop("queries_cold", None)
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1900, f"bench stdout line too long ({len(line)} chars)"
+    # degrade gracefully rather than assert: a crash here would record NO
+    # line at all — strictly worse than a slightly coarser one. Each step
+    # stays valid JSON with the headline metric/value/queries intact.
+    if len(line) > 1800:  # step 1: drop per-cell cold/JIT extras
+        compact.pop("flagship_cold_sec", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # step 2: 1-decimal cells (±0.05 s, noise floor)
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # step 3: drop the slowest-last tail of the map
+        items = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+        while len(line) > 1900 and items:
+            items.pop()
+            compact["queries"] = {k: round(v, 1) for k, v in items}
+            compact["queries_truncated"] = True
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
