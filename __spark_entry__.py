@@ -3156,6 +3156,53 @@ ORDER BY cnt DESC, key ASC LIMIT 10
 """
 
 
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-histogram quantile sketch (operators/sketches.py, DDSketch-style
+    per Masson et al. VLDB 2019, integer form): per-language p50/p90/p99 of
+    document length from a mergeable ≤ 64·2^r-bin histogram — ONE corpus
+    exchange, < 2^-r relative error, integer-exact so the DuckDB oracle
+    reproduces it bit-for-bit (no float log anywhere)."""
+    from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("lang", F.length("text").alias("v"))
+    return quantile_sketch(
+        df, "v", [500_000, 900_000, 990_000], r=5, group_cols=["lang"]
+    )
+
+
+# r=5: values < 64 bin to themselves; else bin = (e-5)*32 + (v >> (e-5))
+# with e = bit_length(v)-1; representative = inverse lower bound
+_DOC_QUANTILES_SQL = """
+WITH base AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents
+  WHERE text IS NOT NULL
+), binned AS (
+  SELECT lang,
+         CASE WHEN v < 64 THEN v
+              ELSE (length(bin(v)) - 6) * 32 + (v >> (length(bin(v)) - 6)) END AS bin
+  FROM base
+), hist AS (
+  SELECT lang, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bin,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS c,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+), qs AS (SELECT * FROM (VALUES (500000), (900000), (990000)) t(q_ppm)),
+picked AS (
+  SELECT lang, q_ppm,
+         MIN(CASE WHEN c >= (q_ppm * n + 999999) // 1000000 THEN bin END) AS b
+  FROM cum CROSS JOIN qs GROUP BY 1, 2
+)
+SELECT lang, CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST(CASE WHEN b < 64 THEN b
+                 ELSE (b - (b // 32 - 1) * 32) * (CAST(1 AS BIGINT) << (b // 32 - 1))
+            END AS BIGINT) AS value
+FROM picked
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -3183,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r05
         "graph_group_salted_props": q_graph_group_salted_props,
         "ann_ivfpq_batch_queries": q_ann_ivfpq_batch_queries,
+        "doc_quantiles": q_doc_quantiles,
         # --- r04-green keys kept under the gate (regression cover)
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3202,7 +3250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_digests": q_media_digests,
         "embedding_stats": q_embedding_stats,
         "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
         # --- reference graph-grouping core (all r03 driver-green)
         "graph_group_role_count": _role_count_query({}),
         "graph_group_role_minmax": q_graph_group_role_minmax,
@@ -3306,6 +3353,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         # md5 fingerprint projection; also exercised by dedup_fingerprint
         "text_fingerprint": q_text_fingerprint,
+        # n-gram heuristic over the same text-feature Catalyst machinery as
+        # text_stats + quality_filter (both hold gate slots); r04
+        # driver-green — ceded its slot to the new doc_quantiles family
+        "text_langid": q_text_langid,
     }
 
 
@@ -3316,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile": _SKEW_SQL,
         "graph_group_salted_props": _SALTED_PROPS_SQL,
         "ann_ivfpq_batch_queries": _IVFPQ_BATCH_SQL,
+        "doc_quantiles": _DOC_QUANTILES_SQL,
         "kmv_distinct": _KMV_SQL,
         "cms_heavy_hitters": _CMS_SQL,
         "bloom_semi_join": _BLOOM_SQL,
@@ -3334,7 +3386,6 @@ def oracle_sql() -> dict[str, str]:
         "media_digests": _MEDIA_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "text_stats": _TEXT_STATS_SQL,
-        "text_langid": _LANGID_SQL,
         "graph_group_role_count": _ROLE_COUNT_SQL,
         "graph_group_role_minmax": _ROLE_MINMAX_SQL,
         "graph_group_edge_transition": _EDGE_TRANSITION_SQL,
@@ -3395,4 +3446,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_split_counts": _SPLIT_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
+        "text_langid": _LANGID_SQL,
     }

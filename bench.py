@@ -275,6 +275,23 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     run("bloom_semi_join_fast", _bloom_prune_orders)
 
+    def _quantile_sketch():
+        from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # biggest table at this sf: per-flag p50/p90/p99 of the cents-exact
+        # extendedprice from one corpus exchange (<= 64*32 bins per group)
+        v = (F.col("l_extendedprice") * 100).cast("long")
+        return quantile_sketch(
+            li.select("l_returnflag", v.alias("v")),
+            "v",
+            [500_000, 900_000, 990_000],
+            r=5,
+            group_cols=["l_returnflag"],
+        ).count()
+
+    run("quantile_sketch_fast", _quantile_sketch)
+
     def _kmeans_train_ivf():
         # coarse-quantizer training (Arrow matmul assignment, 2 Lloyd
         # rounds — ~1.7 s/round of per-job fixed cost at this sf) + one

@@ -247,3 +247,38 @@ def windowed_kmv(
         ).alias("window"),
         "est_distinct",
     )
+
+
+def windowed_log_histogram(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "10 minutes",
+    r: int = 5,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-window log-histogram quantile sketch as (window, bin, cnt) —
+    each closed window's rows equal the batch ``log_histogram`` of that
+    window's data (parity-pinned), and feeding them to ``lh_quantiles``
+    grouped by window yields per-window quantiles. Counts ADD, so
+    adjacent windows' sketches merge for coarser rollups and replayed
+    micro-batches only re-add idempotently-deduped state via the built-in
+    windowed agg. State ≤ 64·2^r rows per open window."""
+    from graph_stream_zoomer_spark.operators.sketches import _lh_bin
+
+    if not 1 <= r <= 16:
+        raise ValueError(f"windowed_log_histogram needs 1 <= r <= 16; got {r}")
+    c = F.col(value_col)
+    x = c.cast("long")
+    checked = F.when(
+        x < 0, F.raise_error(F.lit(f"windowed_log_histogram: negative value in {value_col}"))
+    ).otherwise(x)
+    binned = (
+        stream.withWatermark(ts_col, watermark_delay)
+        # NULLs skipped like the batch twin (log_histogram)
+        .where(c.isNotNull())
+        .select(F.col(ts_col), _lh_bin(checked, r).alias("bin"))
+    )
+    return binned.groupBy(
+        F.window(ts_col, window_duration).alias("window"), "bin"
+    ).agg(F.count(F.lit(1)).alias("cnt"))

@@ -298,3 +298,112 @@ def test_bloom_probe_side_is_shuffle_free(orders, building):
     assert st.num_exchanges <= 2, st.text[:3000]
     # no Python anywhere — the whole pipeline is Catalyst expressions
     assert "EvalPython" not in st.text
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_lh_small_values_exact(events):
+    """Values below 2^(r+1) bin to themselves: quantiles over a small-value
+    column are EXACT (percentile_disc semantics)."""
+    from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+
+    small = events.select((F.col("user_id") % 50).alias("v"))
+    got = {
+        r["q_ppm"]: r["value"]
+        for r in quantile_sketch(small, "v", [250_000, 500_000, 900_000], r=5).collect()
+    }
+    exact = small.selectExpr(
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25",
+        "percentile_disc(0.50) WITHIN GROUP (ORDER BY v) AS p50",
+        "percentile_disc(0.90) WITHIN GROUP (ORDER BY v) AS p90",
+    ).first()
+    assert got[250_000] == exact["p25"]
+    assert got[500_000] == exact["p50"]
+    assert got[900_000] == exact["p90"]
+
+
+def test_lh_relative_error_bound(events):
+    """For large values the returned quantile under-estimates the exact one
+    by < 2^-r relative (the DDSketch guarantee, integer form)."""
+    from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+
+    r = 5
+    big = events.select((F.col("user_id") * 977 + 13).alias("v"))
+    qs = [100_000, 500_000, 990_000]
+    got = {row["q_ppm"]: row["value"] for row in quantile_sketch(big, "v", qs, r=r).collect()}
+    for q in qs:
+        exact = big.selectExpr(
+            f"percentile_disc({q/1e6}) WITHIN GROUP (ORDER BY v) AS p"
+        ).first()["p"]
+        assert got[q] <= exact, (q, got[q], exact)
+        assert exact - got[q] < exact * 2 ** -r + 1, (q, got[q], exact)
+
+
+def test_lh_grouped_matches_per_group(events):
+    """Grouped sketch == independent per-group sketches."""
+    from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+
+    df = events.select("event_type", (F.col("user_id") * 31).alias("v"))
+    got = {
+        (r["event_type"], r["q_ppm"]): r["value"]
+        for r in quantile_sketch(df, "v", [500_000], r=4, group_cols=["event_type"]).collect()
+    }
+    for et in [r["event_type"] for r in df.select("event_type").distinct().collect()]:
+        solo = quantile_sketch(df.where(F.col("event_type") == et), "v", [500_000], r=4).first()
+        assert got[(et, 500_000)] == solo["value"], et
+
+
+def test_lh_sketches_merge_by_addition(events, spark):
+    """sketch(A ∪ B) == per-bin count sum of sketch(A) and sketch(B) — the
+    mergeability that makes the sketch windowed/rollup-friendly."""
+    from graph_stream_zoomer_spark.operators.sketches import log_histogram
+
+    df = events.select((F.col("user_id") * 7 + 1).alias("v"), "event_type")
+    a = df.where(F.col("event_type") < "n")
+    b = df.where(F.col("event_type") >= "n")
+    merged = (
+        log_histogram(a, "v", r=5)
+        .unionAll(log_histogram(b, "v", r=5))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = log_histogram(df, "v", r=5)
+    key = lambda r: (r["bin"], r["cnt"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_lh_single_exchange_and_guards(events):
+    """Plan: ONE partially-aggregated exchange for the histogram build; the
+    quantile read only moves sketch rows. Guards reject bad params and
+    negative values."""
+    from graph_stream_zoomer_spark.operators.sketches import (
+        log_histogram,
+        lh_quantiles,
+        quantile_sketch,
+    )
+
+    hist = log_histogram(events.select((F.col("user_id") + 1).alias("v")), "v")
+    st = plan_stats(hist)
+    assert st.num_exchanges == 1, st.text[:2000]
+    assert "partial" in st.text.lower(), st.text[:2000]
+
+    with pytest.raises(ValueError, match="1 <= r <= 16"):
+        log_histogram(events, "user_id", r=0)
+    with pytest.raises(ValueError, match="q_ppm"):
+        lh_quantiles(hist, [])
+    with pytest.raises(ValueError, match="q_ppm"):
+        lh_quantiles(hist, [2_000_000])
+    neg = events.select((F.col("user_id") - 10_000_000).alias("v"))
+    with pytest.raises(Exception, match="negative value"):
+        quantile_sketch(neg, "v", [500_000]).collect()
+
+
+def test_lh_nulls_skipped(spark):
+    from graph_stream_zoomer_spark.operators.sketches import log_histogram
+
+    df = spark.createDataFrame([(1,), (None,), (5,), (None,)], "v bigint")
+    rows = log_histogram(df, "v", r=5).collect()
+    assert sum(r["cnt"] for r in rows) == 2

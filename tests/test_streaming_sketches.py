@@ -12,12 +12,14 @@ from graph_stream_zoomer_spark.operators.sketches import (
     cms_sketch,
     hll_registers,
     kmv_distinct,
+    log_histogram,
 )
 from graph_stream_zoomer_spark.streaming.sketches import (
     windowed_bloom,
     windowed_cms,
     windowed_hll,
     windowed_kmv,
+    windowed_log_histogram,
 )
 
 EV_DDL = "user_id bigint, ts timestamp"
@@ -111,6 +113,15 @@ def test_windowed_hll_matches_batch_per_window(spark, tmp_path):
     )
     exp = _batch_per_window(spark, hll_registers, b=8)
     key = lambda r: (str(r["window_start"]), r["bucket"], r["max_rho"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+
+
+def test_windowed_log_histogram_matches_batch_per_window(spark, tmp_path):
+    got = _run(
+        spark, tmp_path, lambda s: windowed_log_histogram(s, "ts", "user_id", r=5)
+    )
+    exp = _batch_per_window(spark, log_histogram, r=5)
+    key = lambda r: (str(r["window_start"]), r["bin"], r["cnt"])
     assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
 
 
