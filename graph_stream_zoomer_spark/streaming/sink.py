@@ -68,9 +68,11 @@ class IdempotentParquetSink:
                 f"object-store deployments."
             )
         self.transform = transform
+        # strip the scheme BEFORE deriving sub-paths: os.path.join on a
+        # "file://…" string builds a RELATIVE "file:/…" tree under the cwd
         self.root = root.removeprefix("file://")
-        self.data_dir = os.path.join(root, "data")
-        self.lineage_dir = os.path.join(root, "_lineage")
+        self.data_dir = os.path.join(self.root, "data")
+        self.lineage_dir = os.path.join(self.root, "_lineage")
         self.commits_path = os.path.join(self.lineage_dir, "commits.json")
         self.lineage_path = os.path.join(self.lineage_dir, "lineage.jsonl")
         self.key_cols = key_cols

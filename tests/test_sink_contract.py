@@ -85,3 +85,8 @@ def test_parquet_sink_rejects_object_store_roots(tmp_path):
     assert s.root == str(tmp_path / "a")
     s2 = IdempotentParquetSink("file://" + str(tmp_path / "b"))
     assert s2.root == str(tmp_path / "b")
+    # sub-paths must derive from the STRIPPED root: joining the raw
+    # "file://…" string builds a relative "file:/…" tree under the cwd
+    assert s2.data_dir == str(tmp_path / "b" / "data")
+    assert os.path.isdir(s2.data_dir)
+    assert not os.path.exists("file:")
