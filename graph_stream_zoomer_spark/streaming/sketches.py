@@ -282,3 +282,16 @@ def windowed_log_histogram(
     return binned.groupBy(
         F.window(ts_col, window_duration).alias("window"), "bin"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def window_quantiles(hist: DataFrame, qs_ppm: list[int], r: int = 5) -> DataFrame:
+    """Read per-window quantiles out of ``windowed_log_histogram`` output:
+    (window, q_ppm, value) with the same < 2^-r relative guarantee as the
+    batch reader. The rank scan is a window cumsum — streaming-ILLEGAL on
+    an open stream, so apply this to CLOSED windows: either the sink table
+    the append-mode histogram stream wrote, or each micro-batch inside
+    ``foreachBatch`` (every append-mode row belongs to a just-closed
+    window, so a batch always holds complete histograms)."""
+    from graph_stream_zoomer_spark.operators.sketches import lh_quantiles
+
+    return lh_quantiles(hist, qs_ppm, r=r, group_cols=["window"])

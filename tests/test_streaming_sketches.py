@@ -125,6 +125,45 @@ def test_windowed_log_histogram_matches_batch_per_window(spark, tmp_path):
     assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
 
 
+def test_window_quantiles_over_closed_histogram_stream(spark, tmp_path):
+    """windowed_log_histogram sink → window_quantiles == batch
+    quantile_sketch applied window-by-window (the foreachBatch /
+    sink-table reading pattern the docstring prescribes)."""
+    from graph_stream_zoomer_spark.operators.sketches import quantile_sketch
+    from graph_stream_zoomer_spark.streaming.sketches import window_quantiles
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    for i, chunk in enumerate([CHUNK1, CHUNK2, SENTINEL]):
+        _df(spark, chunk).coalesce(1).write.mode("append").parquet(inp)
+        if i < 2:
+            time.sleep(1.1)
+    stream = spark.readStream.schema(EV_DDL).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = (
+        windowed_log_histogram(stream, "ts", "user_id", r=5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hist = spark.read.parquet(out).where(F.col("window.start") < "2029-01-01")
+    got = {
+        (str(r["window"]["start"]), r["q_ppm"]): r["value"]
+        for r in window_quantiles(hist, [500_000, 990_000], r=5).collect()
+    }
+    exp = {}
+    df = _df(spark, CHUNK1 + CHUNK2).withColumn(
+        "window_start", F.window("ts", "10 minutes").start
+    )
+    for (ws,) in df.select("window_start").distinct().collect():
+        part = df.where(F.col("window_start") == ws)
+        for r in quantile_sketch(part, "user_id", [500_000, 990_000], r=5).collect():
+            exp[(str(ws), r["q_ppm"])] = r["value"]
+    assert got == exp
+
+
 def test_windowed_kmv_matches_batch_per_window(spark, tmp_path):
     # k=2 < per-window distinct count, so the (k-1)*2^32 div kth branch of
     # the estimator runs — parity with batch must be bit-for-bit, not just
