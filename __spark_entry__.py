@@ -3203,6 +3203,36 @@ FROM picked
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED per-language subsample (operators/packing.py,
+    Efraimidis–Spirakis A-ES): priority u^(1/w) with md5-derived u and
+    w = n_chars, ranked in log form rounded to 9 decimals (round-before-
+    rank) so the DuckDB oracle reproduces the exact sample."""
+    from graph_stream_zoomer_spark.operators.packing import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(
+        docs, k=20, key_col="doc_id", weight_col="n_chars", group_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+_DOC_WSAMPLE_SQL = """
+WITH prio AS (
+  SELECT doc_id, lang,
+         round(ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                  / 281474976710656.0) / CAST(n_chars AS DOUBLE), 9) AS p
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS INTEGER)
+           AS sample_rank
+  FROM prio
+)
+SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -3357,6 +3387,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_stats + quality_filter (both hold gate slots); r04
         # driver-green — ceded its slot to the new doc_quantiles family
         "text_langid": q_text_langid,
+        # weighted twin of doc_sample's ranked-sampling machinery (A-ES
+        # priority instead of bare md5 order; same window-exchange plan)
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -3447,4 +3480,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_sample": _DOC_SAMPLE_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
         "text_langid": _LANGID_SQL,
+        "doc_weighted_sample": _DOC_WSAMPLE_SQL,
     }

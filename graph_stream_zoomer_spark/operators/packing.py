@@ -110,6 +110,59 @@ def deterministic_sample(
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic WEIGHTED k-per-group subsample — Efraimidis–Spirakis
+    A-ES (one-pass weighted reservoir sampling, IPL 2006): each row gets
+    priority u^(1/w) with u a uniform pseudo-random in (0, 1]; the k
+    largest priorities are a weighted-without-replacement sample. The
+    training-data use is quality-weighted corpus subsampling: w = a
+    quality score makes high-quality docs proportionally likelier while
+    the output stays an auditable, rerun/engine-stable sample.
+
+    Determinism: u is md5-derived from the key (the assign_split trick,
+    disjoint "ws:" hash prefix so weighting never correlates with splits
+    or uniform samples); the rank key is ln(u)/w — the monotone log form
+    of u^(1/w), numerically safe for tiny u — ROUNDED to 9 decimals
+    before ranking with a key tie-break, so engines whose libm log
+    differs in the last ulp still rank identically (the repo's
+    round-before-rank discipline).
+
+    Scale: identical plan shape to ``deterministic_sample`` — one window
+    exchange on the group key when stratified; the global form is a
+    distributed top-k and k rows must fit the driver.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w_col = F.col(weight_col).cast("double")
+    checked_w = F.when(
+        w_col.isNull() | (w_col <= 0),
+        F.raise_error(F.lit(f"weighted_sample: weights in {weight_col} must be > 0")),
+    ).otherwise(w_col)
+    # u in (0, 1]: first 12 md5 hex digits -> (h+1)/2^48; +1 keeps ln(u)
+    # finite and makes u=1 (ln=0, the best possible priority) reachable
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col(key_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
+    # DESC: larger ln(u)/w (closer to 0) == larger u^(1/w)
+    prio = F.round(F.log(u) / checked_w, 9)
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(prio.desc(), F.col(key_col))
+        ranked = df.withColumn(rank_col, F.row_number().over(win))
+        return ranked.where(F.col(rank_col) <= k)
+    win = Window.orderBy(prio.desc(), F.col(key_col))
+    return df.withColumn(rank_col, F.row_number().over(win)).where(F.col(rank_col) <= k)
+
+
 def stratified_sample_rates(
     df: DataFrame,
     rates: dict[str, float],

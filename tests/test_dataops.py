@@ -488,6 +488,52 @@ def test_deterministic_sample(spark):
         deterministic_sample(df, k=0, key_col="doc_id")
 
 
+def test_weighted_sample(spark):
+    """A-ES weighted sampling: deterministic across reruns/input order,
+    biased toward heavy weights, exact when k covers the group, loud on
+    non-positive weights, and hash-disjoint from the uniform sampler."""
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.packing import (
+        deterministic_sample,
+        weighted_sample,
+    )
+
+    rows = [(i, 20.0 if i < 100 else 0.2) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, 50, "doc_id", "w").collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.orderBy(F.desc("doc_id")), 50, "doc_id", "w").collect()
+    )
+    assert s1 == s2 and len(s1) == 50
+    # 100:1 weight ratio: u^(1/20) vs u^5 — the heavy half must dominate
+    heavy = sum(1 for d in s1 if d < 100)
+    assert heavy >= 45, heavy
+    # equal weights degrade to a uniform sample — but a DIFFERENT one than
+    # deterministic_sample (disjoint "ws:" hash prefix)
+    eq = spark.createDataFrame([(i, 1.0) for i in range(40)], "doc_id long, w double")
+    wu = sorted(r["doc_id"] for r in weighted_sample(eq, 10, "doc_id", "w").collect())
+    uu = sorted(r["doc_id"] for r in deterministic_sample(eq, 10, "doc_id").collect())
+    assert wu != uu
+    # grouped: min(k, group size) per group
+    g = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i + 1)) for i in range(10)],
+        "doc_id long, grp string, w double",
+    )
+    out = weighted_sample(g, 3, "doc_id", "w", group_cols=["grp"]).collect()
+    from collections import Counter
+
+    assert Counter(r["grp"] for r in out) == {"a": 3, "b": 3}
+    big = weighted_sample(g, 99, "doc_id", "w", group_cols=["grp"])
+    assert big.count() == 10
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "doc_id", "w")
+    bad = spark.createDataFrame([(1, 0.0)], "doc_id long, w double")
+    with pytest.raises(Exception, match="must be > 0"):
+        weighted_sample(bad, 1, "doc_id", "w").collect()
+
+
 def test_percentile_aggregates(spark):
     """Exact percentile matches hand-computed interpolation, the approx
     sketch lands within tolerance, and the salted decomposition refuses
