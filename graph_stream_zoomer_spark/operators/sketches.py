@@ -377,12 +377,18 @@ def _lh_bin(x: Column, r: int) -> Column:
     """Bucket index of non-negative integer ``x`` with relative error
     2^-r: values below 2^(r+1) map to themselves (EXACT); above, the top
     r+1 significant bits index the bucket — bin = (e-r)*2^r + (x >> (e-r))
-    with e = bit_length(x)-1. Monotone in x, ≤ 2^r bins per octave."""
+    with e = bit_length(x)-1. Monotone in x, ≤ 2^r bins per octave.
+
+    The shift is taken as the first r+1 chars of the binary string (conv
+    base 2 → 10), NOT a long/long division: Spark's ``/`` is DOUBLE
+    division, which loses low bits above 2^53 and would mis-bin huge
+    values; the string form is exact over the full 63-bit range (pinned
+    vs Python ints at 2^60-scale inputs)."""
     e = F.length(F.bin(x)) - F.lit(1)
-    g = (e - F.lit(r)).cast("int")
-    shifted = (x / F.element_at(_pow2_lut(), g + 1)).cast("long")  # x >> g, x >= 0
+    g = (e - F.lit(r)).cast("long")
+    shifted = F.conv(F.substring(F.bin(x), 1, r + 1), 2, 10).cast("long")  # x >> (e-r)
     return F.when(x < F.lit(1 << (r + 1)), x).otherwise(
-        g.cast("long") * F.lit(1 << r) + shifted
+        g * F.lit(1 << r) + shifted
     )
 
 
@@ -467,8 +473,13 @@ def lh_quantiles(
     spark = hist.sparkSession
     qdf = spark.createDataFrame([(int(q),) for q in qs_ppm], "q_ppm bigint")
     joined = cum.crossJoin(F.broadcast(qdf))
-    # rank = ceil(q·n) in exact integers; _cum >= rank picks the bin
-    rank = F.expr("div(q_ppm * _n + 999999, 1000000)")
+    # rank = ceil(q·n) in exact integers, split so no intermediate exceeds
+    # long range (q_ppm*n wraps once n passes ~9.2e12 — squarely inside
+    # the 100 TB regime): with n = a·10^6 + b, ceil(qn/10^6) =
+    # q·a + ceil(q·b/10^6); q·a ≤ n and q·b < 10^12, both safe
+    rank = F.expr(
+        "q_ppm * div(_n, 1000000) + div(q_ppm * pmod(_n, 1000000) + 999999, 1000000)"
+    )
     picked = (
         joined.groupBy(*g, "q_ppm")
         .agg(F.min(F.when(F.col("_cum") >= rank, F.col("bin"))).alias("_b"))

@@ -407,3 +407,54 @@ def test_lh_nulls_skipped(spark):
     df = spark.createDataFrame([(1,), (None,), (5,), (None,)], "v bigint")
     rows = log_histogram(df, "v", r=5).collect()
     assert sum(r["cnt"] for r in rows) == 2
+
+
+def test_lh_bin_exact_above_double_precision(spark):
+    """Binning must be exact over the full 63-bit range: Spark's `/` is
+    DOUBLE division (lossy above 2^53), so the shift is taken from the
+    binary string instead — pinned against Python integer arithmetic on
+    2^60-scale values that straddle bucket boundaries."""
+    from graph_stream_zoomer_spark.operators.sketches import log_histogram
+
+    r = 5
+    vals = []
+    for e in (53, 57, 60, 62):
+        base = 1 << e
+        # boundary-straddling values: bucket edges are multiples of 2^(e-r)
+        step = 1 << (e - r)
+        vals += [base, base + step - 1, base + step, base + 3 * step + 7, (base << 1) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = {}
+    for row in log_histogram(df, "v", r=r).collect():
+        got[row["bin"]] = got.get(row["bin"], 0) + row["cnt"]
+
+    def pybin(x):
+        if x < 1 << (r + 1):
+            return x
+        e = x.bit_length() - 1
+        return (e - r) * (1 << r) + (x >> (e - r))
+
+    exp = {}
+    for v in vals:
+        exp[pybin(v)] = exp.get(pybin(v), 0) + 1
+    assert got == exp
+
+
+def test_lh_rank_split_identity(spark):
+    """The overflow-safe split rank q·div(n,1e6) + ceil(q·mod(n,1e6)/1e6)
+    equals ceil(q·n/1e6) exactly, including at n where the naive product
+    q_ppm·n wraps past 2^63."""
+
+    rows = []
+    for n in (1, 7, 999_999, 1_000_000, 123_456_789, 9_300_000_000_000, 2**62):
+        for q in (1, 250_000, 500_000, 999_999, 1_000_000):
+            rows.append((q, n))
+    got = spark.createDataFrame(rows, "q_ppm bigint, _n bigint").selectExpr(
+        "q_ppm",
+        "_n",
+        "q_ppm * div(_n, 1000000) + div(q_ppm * pmod(_n, 1000000) + 999999, 1000000) AS rank",
+    ).collect()
+    for r_ in got:
+        # exact integer ceil (math.ceil over a float quotient is itself
+        # imprecise at 2^62 — Python big-int arithmetic is the oracle)
+        assert r_["rank"] == -(-(r_["q_ppm"] * r_["_n"]) // 1_000_000), r_
