@@ -3233,6 +3233,36 @@ SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 20
 """
 
 
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding (operators/similarity.py): elements
+    scaled to integers (half-up, 1e-6 grid) before summing so the pooled
+    vector is partition-order-free and the DuckDB oracle reproduces it
+    bit-for-bit; one map-side-combined (label, dim) exchange."""
+    from graph_stream_zoomer_spark.operators.similarity import pool_embeddings
+
+    emb = _emb(spark, sf_dir)
+    out = pool_embeddings(
+        emb.select(F.col("label").cast("bigint").alias("label"), "embedding"),
+        group_cols=["label"],
+    )
+    return out.select("label", "vec")
+
+
+_EMB_POOL_SQL = """
+WITH scaled AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), agg AS (
+  SELECT label, pos, SUM(v) AS s, COUNT(*) AS n FROM scaled GROUP BY 1, 2
+)
+SELECT label, list(s / (n * 1000000.0) ORDER BY pos) AS vec
+FROM agg GROUP BY label
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -3390,6 +3420,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted twin of doc_sample's ranked-sampling machinery (A-ES
         # priority instead of bare md5 order; same window-exchange plan)
         "doc_weighted_sample": q_doc_weighted_sample,
+        # same per-(group, dim) combinable-agg machinery as embedding_stats
+        # (which holds a gate slot); integer-scaled for order-free sums
+        "embedding_pool": q_embedding_pool,
     }
 
 
@@ -3481,4 +3514,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FP_SQL,
         "text_langid": _LANGID_SQL,
         "doc_weighted_sample": _DOC_WSAMPLE_SQL,
+        "embedding_pool": _EMB_POOL_SQL,
     }

@@ -470,3 +470,61 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+    mode: str = "mean",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Element-wise mean/sum pooling of embedding vectors per group — the
+    "conversation embedding from turn embeddings" / "class centroid from
+    members" primitive. Returns one row per group with ``vec:
+    array<double>``.
+
+    Exactness: each element is scaled to an integer (half-up at 1/scale
+    resolution, the quant.py discipline) BEFORE summing, so the sum is
+    order-free — float summation is partition-order-dependent and would
+    make results run-to-run unstable at scale; the single final division
+    back to double is IEEE-deterministic, so Spark and the SQL oracle
+    agree bit-for-bit.
+
+    Scale: posexplode → ONE map-side-combined groupBy(group, pos) — the
+    combiner bounds shuffle rows at (groups × dim) per map task however
+    large the corpus — then a tiny groupBy(group) rebuilds the array
+    (collect_list bounded by dim). NULL vectors are skipped; ragged
+    dimensions raise loudly (a mean over mixed-dim vectors is undefined).
+    """
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be 'mean' or 'sum'; got {mode!r}")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    g = list(group_cols or [])
+    x = F.col(vec_col)
+    scaled = F.transform(
+        x, lambda e: F.floor(e.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    exploded = (
+        df.where(x.isNotNull())
+        .select(*g, F.posexplode(scaled).alias("pos", "_v"))
+    )
+    per_dim = exploded.groupBy(*g, "pos").agg(
+        F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    denom = (F.col("_n") * float(scale)) if mode == "mean" else F.lit(float(scale))
+    dim_val = (F.col("_s") / denom).alias("_val")
+    rebuilt = per_dim.select(*g, "pos", dim_val, "_n").groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "_val"))).alias("_pv"),
+        F.min("_n").alias("_nmin"),
+        F.max("_n").alias("_nmax"),
+    )
+    vec = F.transform(F.col("_pv"), lambda s: s["_val"])
+    checked = F.when(
+        F.col("_nmin") != F.col("_nmax"),
+        F.raise_error(
+            F.lit(f"pool_embeddings: ragged vector dimensions in {vec_col}")
+        ).cast("array<double>"),
+    ).otherwise(vec)
+    return rebuilt.select(*g, checked.alias("vec"))

@@ -847,3 +847,49 @@ def test_ivf_topk_degraded_rows_agree_across_probe_paths(spark, monkeypatch):
     assert arrow == lit
     ids = {t[0] for t in lit} | {t[1] for t in lit}
     assert ids and not ids & {100, 101, 102}
+
+
+def test_pool_embeddings(spark):
+    """Mean/sum pooling: exact vs Python ints on the same scaled grid,
+    NULLs skipped, ragged dims raise, plan is a combinable two-exchange."""
+    import pytest
+
+    from graph_stream_zoomer_spark.operators.similarity import pool_embeddings
+    from graph_stream_zoomer_spark.plans.inspect import plan_stats
+
+    rows = [
+        ("a", [1.25, -2.5, 0.000001]),
+        ("a", [0.75, 0.5, -0.000001]),
+        ("b", [10.0, 20.0, 30.0]),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, embedding array<double>")
+    got = {r["grp"]: r["vec"] for r in pool_embeddings(df, group_cols=["grp"]).collect()}
+
+    def pyscale(v):
+        import math
+
+        return math.floor(v * 1_000_000 + 0.5)
+
+    exp_a = [
+        (pyscale(1.25) + pyscale(0.75)) / (2 * 1_000_000.0),
+        (pyscale(-2.5) + pyscale(0.5)) / (2 * 1_000_000.0),
+        (pyscale(0.000001) + pyscale(-0.000001)) / (2 * 1_000_000.0),
+    ]
+    assert got["a"] == exp_a, (got["a"], exp_a)
+    assert got["b"] == [10.0, 20.0, 30.0]
+    # sum mode
+    s = {r["grp"]: r["vec"] for r in pool_embeddings(df, group_cols=["grp"], mode="sum").collect()}
+    assert s["a"][0] == (pyscale(1.25) + pyscale(0.75)) / 1_000_000.0
+    # ragged dims raise
+    ragged = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [1.0, 2.0, 3.0])], "grp string, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        pool_embeddings(ragged, group_cols=["grp"]).collect()
+    with pytest.raises(ValueError, match="mode"):
+        pool_embeddings(df, mode="median")
+    # plan: both aggregates partial (map-side combined)
+    st = plan_stats(pool_embeddings(df, group_cols=["grp"]))
+    assert st.num_exchanges == 2, st.text[:3000]
+    assert "partial" in st.text.lower()
