@@ -295,3 +295,61 @@ def window_quantiles(hist: DataFrame, qs_ppm: list[int], r: int = 5) -> DataFram
     from graph_stream_zoomer_spark.operators.sketches import lh_quantiles
 
     return lh_quantiles(hist, qs_ppm, r=r, group_cols=["window"])
+
+
+def windowed_embedding_sums(
+    stream: DataFrame,
+    ts_col: str,
+    vec_col: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-window element-wise embedding sums as (window, pos, s, n) —
+    the streaming half of ``pool_embeddings``. Elements are scaled to
+    integers before summing (order-free, replay-stable), so the rows are
+    ALGEBRAIC: one windowed agg, state ≤ dim rows per open window, and
+    adjacent windows merge by adding (s, n). Emitting the long form is
+    deliberate — rebuilding the array needs a second aggregation, which
+    streaming append mode forbids; use ``pooled_from_sums`` on closed
+    windows (the sink table or each foreachBatch batch)."""
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    x = F.col(vec_col)
+    scaled = F.transform(
+        x, lambda e: F.floor(e.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    exploded = (
+        stream.withWatermark(ts_col, watermark_delay)
+        # NULL vectors skipped like the batch twin (pool_embeddings)
+        .where(x.isNotNull())
+        .select(F.col(ts_col), F.posexplode(scaled).alias("pos", "_v"))
+    )
+    return exploded.groupBy(
+        F.window(ts_col, window_duration).alias("window"), "pos"
+    ).agg(F.sum("_v").alias("s"), F.count(F.lit(1)).alias("n"))
+
+
+def pooled_from_sums(
+    sums: DataFrame, mode: str = "mean", scale: int = 1_000_000
+) -> DataFrame:
+    """Rebuild (window, vec) pooled vectors from ``windowed_embedding_sums``
+    output over CLOSED windows — per-window parity with batch
+    ``pool_embeddings`` is pinned. Ragged dims raise, matching batch."""
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be 'mean' or 'sum'; got {mode!r}")
+    denom = (F.col("n") * float(scale)) if mode == "mean" else F.lit(float(scale))
+    per_dim = sums.select("window", "pos", (F.col("s") / denom).alias("_val"), "n")
+    rebuilt = per_dim.groupBy("window").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "_val"))).alias("_pv"),
+        F.min("n").alias("_nmin"),
+        F.max("n").alias("_nmax"),
+    )
+    vec = F.transform(F.col("_pv"), lambda st: st["_val"])
+    checked = F.when(
+        F.col("_nmin") != F.col("_nmax"),
+        F.raise_error(F.lit("pooled_from_sums: ragged vector dimensions")).cast(
+            "array<double>"
+        ),
+    ).otherwise(vec)
+    return rebuilt.select("window", checked.alias("vec"))

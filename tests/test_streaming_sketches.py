@@ -164,6 +164,63 @@ def test_window_quantiles_over_closed_histogram_stream(spark, tmp_path):
     assert got == exp
 
 
+def test_windowed_embedding_pool_matches_batch_per_window(spark, tmp_path):
+    """windowed_embedding_sums sink → pooled_from_sums == batch
+    pool_embeddings window-by-window (vectors split across micro-batches
+    mid-window, so the state store must merge partial sums)."""
+    from graph_stream_zoomer_spark.operators.similarity import pool_embeddings
+    from graph_stream_zoomer_spark.streaming.sketches import (
+        pooled_from_sums,
+        windowed_embedding_sums,
+    )
+
+    ddl = "vec array<double>, ts timestamp"
+    c1 = [
+        ([1.25, -2.5], "2024-01-01 10:00:00"),
+        ([0.75, 0.5], "2024-01-01 10:01:00"),
+        (None, "2024-01-01 10:01:30"),
+        ([10.0, 20.0], "2024-01-01 10:11:00"),
+    ]
+    c2 = [
+        ([2.0, 4.0], "2024-01-01 10:03:00"),  # same window as c1's head
+        ([30.0, 40.0], "2024-01-01 10:12:00"),
+    ]
+    sent = [([0.0, 0.0], "2030-01-01 00:00:00")]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec array<double>, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    for i, chunk in enumerate([c1, c2, sent]):
+        mk(chunk).coalesce(1).write.mode("append").parquet(inp)
+        if i < 2:
+            time.sleep(1.1)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = (
+        windowed_embedding_sums(stream, "ts", "vec")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sums = spark.read.parquet(out).where(F.col("window.start") < "2029-01-01")
+    got = {
+        str(r["window"]["start"]): r["vec"] for r in pooled_from_sums(sums).collect()
+    }
+    df = mk(c1 + c2).withColumn("window_start", F.window("ts", "10 minutes").start)
+    exp = {}
+    for (ws,) in df.select("window_start").distinct().collect():
+        part = df.where(F.col("window_start") == ws)
+        (row,) = pool_embeddings(part, vec_col="vec").collect()
+        exp[str(ws)] = row["vec"]
+    assert got == exp
+
+
 def test_windowed_kmv_matches_batch_per_window(spark, tmp_path):
     # k=2 < per-window distinct count, so the (k-1)*2^32 div kth branch of
     # the estimator runs — parity with batch must be bit-for-bit, not just
