@@ -123,6 +123,72 @@ def kmv_distinct(
     return agg.select(*g, est_expr.cast("long").alias("est_distinct"))
 
 
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    reproducible: bool = False,
+) -> DataFrame:
+    """The MERGEABLE representation behind ``kmv_distinct`` — one row per
+    group with ``kept: array<long>``, the sorted ≤ k smallest distinct
+    hashes. This is KMV's analog of HLL's register table / CMS's counter
+    table / bloom's word table: sketches of disjoint (or overlapping —
+    dedup is by hash value) corpus parts combine via ``kmv_merge`` into
+    exactly the whole corpus's sketch, which is what partition-level
+    sketch logs and cross-day rollups need. ``kmv_estimate`` reads the
+    count back out; estimates from merged parts == estimate of the whole
+    (pinned)."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch needs k >= 2 (estimator is (k-1)/U_(k)); got {k}")
+    g = list(group_cols or [])
+    df = df.where(F.col(col).isNotNull())
+    h = _hash32(F.col(col), 0, reproducible)
+    if not g:
+        kept = df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
+        return kept.agg(F.sort_array(F.collect_list("_h")).alias("kept"))
+    hashed = df.select(*g, h.alias("_h")).distinct()
+    w = Window.partitionBy(*g).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return topk.groupBy(*g).agg(F.sort_array(F.collect_list("_h")).alias("kept"))
+
+
+def kmv_merge(
+    sketches: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge KMV sketch rows (several ``kept`` arrays per group → one):
+    union the hash sets, keep the k smallest. Pure Catalyst array ops per
+    grouped row — flatten, dedup, sort, slice — after ONE combinable
+    collect per group (each input row is ≤ k longs, so state is bounded
+    by rows_per_group·k)."""
+    if k < 2:
+        raise ValueError(f"kmv_merge needs k >= 2; got {k}")
+    g = list(group_cols or [])
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kept")))), 1, k
+    ).alias("kept")
+    if not g:
+        return sketches.agg(merged)
+    return sketches.groupBy(*g).agg(merged)
+
+
+def kmv_estimate(
+    sketches: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from ``kmv_sketch`` rows — the same
+    integer-exact estimator as ``kmv_distinct`` (exact below k, else
+    ``(k-1)·2^32 div kth_min``), so sketch→estimate equals the direct
+    one-pass form bit-for-bit (pinned)."""
+    if k < 2:
+        raise ValueError(f"kmv_estimate needs k >= 2; got {k}")
+    g = list(group_cols or [])
+    n = F.size(F.col("kept"))
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.expr(f"div({(k - 1) * _HASH_SPACE}L, greatest(element_at(kept, {k}), 1L))")
+    )
+    return sketches.select(*g, est.cast("long").alias("est_distinct"))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (Flajolet et al. 2007) — register table + estimate
 # ---------------------------------------------------------------------------

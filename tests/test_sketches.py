@@ -458,3 +458,45 @@ def test_lh_rank_split_identity(spark):
         # exact integer ceil (math.ceil over a float quotient is itself
         # imprecise at 2^62 — Python big-int arithmetic is the oracle)
         assert r_["rank"] == -(-(r_["q_ppm"] * r_["_n"]) // 1_000_000), r_
+
+
+def test_kmv_sketch_merge_estimate(events, spark):
+    """KMV's mergeable form (the analog of HLL registers / CMS counters /
+    bloom words): part sketches merge into exactly the whole corpus's
+    sketch, and sketch→estimate equals the one-pass kmv_distinct
+    bit-for-bit — including on overlapping parts (dedup is by hash)."""
+    from graph_stream_zoomer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 3 != 1)  # overlaps a
+    parts = kmv_sketch(a, "user_id", k=k, group_cols=["event_type"]).unionAll(
+        kmv_sketch(b, "user_id", k=k, group_cols=["event_type"])
+    )
+    merged = kmv_merge(parts, k=k, group_cols=["event_type"])
+    whole = kmv_sketch(
+        events.where((F.col("event_id") % 2 == 0) | (F.col("event_id") % 3 != 1)),
+        "user_id",
+        k=k,
+        group_cols=["event_type"],
+    )
+    key = lambda r: (r["event_type"], list(r["kept"]))
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+    # estimate from the sketch == the direct one-pass estimator
+    est_s = kmv_estimate(
+        kmv_sketch(events, "user_id", k=k, group_cols=["event_type"]),
+        k=k,
+        group_cols=["event_type"],
+    )
+    est_d = kmv_distinct(events, "user_id", k=k, group_cols=["event_type"])
+    assert sorted(map(tuple, est_s.collect())) == sorted(map(tuple, est_d.collect()))
+    # global (ungrouped) forms agree too
+    gs = kmv_estimate(kmv_sketch(events, "user_id", k=k), k=k).first()[0]
+    gd = kmv_distinct(events, "user_id", k=k).first()[0]
+    assert gs == gd
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_sketch(events, "user_id", k=1)
