@@ -43,7 +43,15 @@ def rate_anomalies(
     than ``min_trailing`` predecessors or zero variance emit a null
     z_score and are never flagged. Empty buckets do not appear as zeros —
     the baseline is over OBSERVED buckets (gap-fill upstream if a
-    dense grid is needed)."""
+    dense grid is needed).
+
+    Integer envelope: the closed form squares per-bucket counts in
+    BIGINT, so Σx² stays exact while every (key, bucket) count is below
+    ~sqrt(2^63/trailing) ≈ 8.7e8 (and (Σx)² below 2^63 → per-bucket
+    counts ≲ 2.5e8 at trailing=12) — i.e. a SINGLE key sustaining
+    ~800k events/second into one 5-minute bucket. Beyond that, shrink
+    ``bucket_seconds`` (the z-score over such buckets is meaningless
+    anyway) — the bound is per (key, bucket), not per corpus."""
     if trailing < min_trailing or min_trailing < 2:
         raise ValueError("need trailing >= min_trailing >= 2")
     bucket = (
