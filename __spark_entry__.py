@@ -3263,6 +3263,32 @@ FROM agg GROUP BY label
 """
 
 
+def q_kmv_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV's MERGEABLE representation (operators/sketches.py kmv_sketch):
+    the sorted ≤k smallest distinct md5 hashes per group — the rows that
+    kmv_merge combines across partitions/days. Integer arrays, hash-exact
+    cross-engine in reproducible mode."""
+    from graph_stream_zoomer_spark.operators.sketches import kmv_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_sketch(ev, "user_id", k=32, group_cols=["event_type"], reproducible=True)
+
+
+_KMV_SKETCH_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, hh,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h
+)
+SELECT event_type, list(hh ORDER BY hh) AS kept
+FROM r WHERE rn <= 32 GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed graph grouping (role label + count/avg/sum) over
     the sf0.001 events stream bound as conversation transcripts."""
@@ -3423,6 +3449,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same per-(group, dim) combinable-agg machinery as embedding_stats
         # (which holds a gate slot); integer-scaled for order-free sums
         "embedding_pool": q_embedding_pool,
+        # the mergeable representation behind gated kmv_distinct (same
+        # hash + top-k window; merge/estimate equivalence pytest-pinned)
+        "kmv_sketch_table": q_kmv_sketch_table,
     }
 
 
@@ -3515,4 +3544,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "doc_weighted_sample": _DOC_WSAMPLE_SQL,
         "embedding_pool": _EMB_POOL_SQL,
+        "kmv_sketch_table": _KMV_SKETCH_SQL,
     }
