@@ -89,7 +89,9 @@ def deterministic_sample(
 
     The reproducible alternative to ``df.sample``: re-running, re-ordering
     input files, or porting to another engine yields the SAME sample, which
-    is what a training-data pipeline needs for auditability. With
+    is what a training-data pipeline needs for auditability. ``key_col``
+    must be UNIQUE per group — rows sharing a key share hash and
+    tie-break, so which of them takes the rank is partition-order luck. With
     ``group_cols`` (e.g. language, source) it is stratified sampling: one
     window exchange on the group key, no global sort; without, a single
     partition-free rank is avoided by ranking within a constant group —
@@ -128,7 +130,9 @@ def weighted_sample(
 
     Determinism: u is md5-derived from the key (the assign_split trick,
     disjoint "ws:" hash prefix so weighting never correlates with splits
-    or uniform samples); the rank key is ln(u)/w — the monotone log form
+    or uniform samples; as with ``deterministic_sample``, ``key_col``
+    must be unique per group — duplicate keys tie on both priority and
+    tie-break); the rank key is ln(u)/w — the monotone log form
     of u^(1/w), numerically safe for tiny u — ROUNDED to 9 decimals
     before ranking with a key tie-break, so engines whose libm log
     differs in the last ulp still rank identically (the repo's
