@@ -500,3 +500,48 @@ def test_kmv_sketch_merge_estimate(events, spark):
     assert gs == gd
     with pytest.raises(ValueError, match="k >= 2"):
         kmv_sketch(events, "user_id", k=1)
+
+
+def test_lh_bin_properties_random(spark):
+    """Property pins over random 63-bit ints: binning is monotone
+    non-decreasing in x, the representative lower-bounds x, and the
+    relative gap is < 2^-r — checked against the Python model in one
+    Spark pass (hypothesis supplies the adversarial sample)."""
+    from hypothesis import given, settings, strategies as st
+
+    from graph_stream_zoomer_spark.operators.sketches import _lh_bin, _lh_rep
+
+    r = 5
+
+    def pybin(x):
+        if x < 1 << (r + 1):
+            return x
+        e = x.bit_length() - 1
+        return (e - r) * (1 << r) + (x >> (e - r))
+
+    def pyrep(b):
+        if b < 1 << (r + 1):
+            return b
+        g = b // (1 << r) - 1
+        return (b - g * (1 << r)) << g
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1),
+                    min_size=1, max_size=40))
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        rows = df.select(
+            "v", _lh_bin(F.col("v"), r).alias("b"),
+            _lh_rep(_lh_bin(F.col("v"), r), r).alias("rep"),
+        ).collect()
+        for row in rows:
+            assert row["b"] == pybin(row["v"]), row
+            assert row["rep"] == pyrep(row["b"]), row
+            assert row["rep"] <= row["v"]
+            if row["v"] > 0:
+                assert row["v"] - row["rep"] <= row["v"] * 2 ** -r, row
+        svals = sorted(vals)
+        sbins = sorted(pybin(v) for v in vals)
+        assert [pybin(v) for v in svals] == sbins  # monotone
+
+    check()

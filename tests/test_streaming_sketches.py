@@ -282,6 +282,49 @@ def test_windowed_kmv_checkpoint_resume(spark, tmp_path):
     assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
 
 
+def test_windowed_kmv_drops_late_rows_for_closed_windows(spark, tmp_path):
+    """Exactly-once on replay/lateness: after a window closes and emits,
+    rows arriving for it are DROPPED without re-opening state — the sink
+    never sees a second row for the same window."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def start():
+        stream = (
+            spark.readStream.schema(EV_DDL).option("maxFilesPerTrigger", 1).parquet(inp)
+        )
+        return (
+            windowed_kmv(stream, "ts", "user_id", k=64)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _df(spark, CHUNK1).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    _df(spark, SENTINEL).coalesce(1).write.mode("append").parquet(inp)
+    q = start()
+    q.awaitTermination(120)
+    first = (
+        spark.read.parquet(out).where(F.col("window.start") < "2029-01-01").collect()
+    )
+    assert len(first) == 2  # both real windows closed and emitted
+
+    # rows for the already-closed 10:00 window arrive after the close
+    _df(spark, [(7, "2024-01-01 10:04:00"), (8, "2024-01-01 10:05:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+    q = start()
+    q.awaitTermination(120)
+    again = (
+        spark.read.parquet(out).where(F.col("window.start") < "2029-01-01").collect()
+    )
+    key = lambda r: (str(r["window"]["start"]), r["est_distinct"])
+    assert sorted(map(key, again)) == sorted(map(key, first))  # no re-emission
+
+
 def test_windowed_bloom_matches_batch_per_window(spark, tmp_path):
     got = _run(
         spark,
